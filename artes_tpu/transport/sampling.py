@@ -1,0 +1,151 @@
+"""Stokes-weighted scattering-angle sampling and matrix interpolation.
+
+The reference builds a 180-bin CDF per scattering event with a serial loop and
+inverts it by linear scan (``scattering_angle_sampling`` ARTES.f90:1534-1661).
+Here the CDFs are closed-form combinations of *precomputed prefix-sum tables*
+(per cell for the scattering angle, global trig tables for the azimuth), so a
+batched event needs only a handful of gathers and a fixed 8-step binary
+search — no per-event cumsum, no scan (the transformation called for in
+SURVEY.md section 7.2).
+
+Conventions follow the reference exactly: 180 one-degree bins, bin-averaged
+``sinbeta``/``cos2beta``/``sin2beta`` weights (ARTES.f90:404-420), inverse-CDF
+linear interpolation inside the bin, the beta half-plane flip, and the
+half-degree-centred matrix interpolation of ``scatter_photon``
+(ARTES.f90:1448-1530).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artes_tpu.atmosphere import COS2BETA, SIN2BETA, SINBETA
+
+N_ANGLE = 180
+_DEG = np.pi / 180.0
+
+# Global prefix tables (181,): index i holds sum over bins 1..i.
+C2B_PREFIX = np.concatenate([[0.0], np.cumsum(COS2BETA)])
+S2B_PREFIX = np.concatenate([[0.0], np.cumsum(SIN2BETA)])
+
+
+def build_alpha_prefix(scatter_cell):
+    """Per-cell prefix tables for the scattering-angle CDF.
+
+    ``scatter_cell``: (..., 180, 16) normalised matrices. Returns
+    (..., 4, 181): prefix sums over bins of P1k(i) * sinbeta(i) * pi/180
+    (the weights of ARTES.f90:1610-1623).
+    """
+    w = SINBETA * _DEG  # (180,)
+    weighted = scatter_cell[..., :4] * w[..., :, None]      # (..., 180, 4)
+    prefix = np.cumsum(weighted, axis=-2)                    # (..., 180, 4)
+    zeros = np.zeros_like(prefix[..., :1, :])
+    return np.concatenate([zeros, prefix], axis=-2).swapaxes(-1, -2)  # (...,4,181)
+
+
+def _invert_cdf(cum_at, target, n=N_ANGLE):
+    """Find bin k (1-based) with cum(k-1) <= target <= cum(k) by binary search.
+
+    ``cum_at(j)`` evaluates the batched CDF at integer edge j in [0, n].
+    Returns (k, cum_lo, cum_hi).
+    """
+    lo = jnp.zeros_like(target, dtype=jnp.int32)
+    hi = jnp.full_like(lo, n)
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        below = cum_at(mid) < target
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    # 2^8 = 256 > 180 edges
+    lo, hi = jax.lax.fori_loop(0, 8, body, (lo, hi))
+    return hi, cum_at(lo), cum_at(hi)
+
+
+def sample_beta(p_int, stokes, u1, u2):
+    """Azimuthal scattering angle from the P11..P14 integral CDF
+    (ARTES.f90:1545-1593).
+
+    ``p_int``: (B, 4) gathered per-cell [P11,P12,P13,P14] angular integrals.
+    Returns beta in (0, 2 pi).
+    """
+    dt = stokes.dtype
+    i, q, u, v = stokes[..., 0], stokes[..., 1], stokes[..., 2], stokes[..., 3]
+    p11, p12, p13, p14 = p_int[..., 0], p_int[..., 1], p_int[..., 2], p_int[..., 3]
+    # intensity(j) = a + b*cos2beta_j + c*sin2beta_j
+    a = p11 * i + p14 * v
+    b = p12 * q + p13 * u
+    c = p12 * u - p13 * q
+    c2b = jnp.asarray(C2B_PREFIX, dt)
+    s2b = jnp.asarray(S2B_PREFIX, dt)
+
+    def cum_at(j):
+        return a * j + b * c2b[j] + c * s2b[j]
+
+    total = cum_at(jnp.full_like(u1, N_ANGLE, dtype=jnp.int32))
+    target = u1 * total
+    k, cum_lo, cum_hi = _invert_cdf(cum_at, target)
+    dcum = cum_hi - cum_lo
+    frac = (target - cum_lo) / jnp.where(dcum == 0.0, 1.0, dcum)
+    beta_deg = (k - 1).astype(dt) + jnp.where(dcum == 0.0, 0.5, frac)
+    beta = beta_deg * _DEG
+    # mirror to the other half-plane with probability 1/2 (:1589-1590)
+    beta = jnp.where(u2 > 0.5, beta + jnp.pi, beta)
+    two_pi = 2.0 * jnp.pi
+    beta = jnp.where(beta >= two_pi, two_pi - 1.0e-10, beta)
+    beta = jnp.where(beta <= 0.0, 1.0e-10, beta)
+    return beta
+
+
+def sample_alpha(alpha_prefix, stokes, beta, u3):
+    """Scattering-angle cosine from the conditional CDF (ARTES.f90:1597-1659).
+
+    ``alpha_prefix``: (B, 4, 181) gathered per-cell prefix tables.
+    Returns alpha = cos(scattering angle), clipped to (-1, 1).
+    """
+    dt = stokes.dtype
+    i, q, u, v = stokes[..., 0], stokes[..., 1], stokes[..., 2], stokes[..., 3]
+    c2b = jnp.cos(2.0 * beta)
+    s2b = jnp.sin(2.0 * beta)
+    # coefficient of each matrix row element (:1612-1617)
+    w1 = i
+    w2 = c2b * q + s2b * u
+    w3 = -s2b * q + c2b * u
+    w4 = v
+
+    def cum_at(j):
+        cols = jnp.take_along_axis(alpha_prefix, j[..., None, None], axis=-1)[..., 0]
+        return w1 * cols[..., 0] + w2 * cols[..., 1] + w3 * cols[..., 2] + w4 * cols[..., 3]
+
+    total = cum_at(jnp.full(stokes.shape[:-1], N_ANGLE, dtype=jnp.int32))
+    target = u3 * total
+    k, cum_lo, cum_hi = _invert_cdf(cum_at, target)
+    dcum = cum_hi - cum_lo
+    frac = (target - cum_lo) / jnp.where(dcum == 0.0, 1.0, dcum)
+    alpha_deg = (k - 1).astype(dt) + jnp.where(dcum == 0.0, 0.5, frac)
+    alpha = jnp.cos(alpha_deg * _DEG)
+    eps = 1.0e-10
+    return jnp.clip(alpha, -1.0 + eps, 1.0 - eps)
+
+
+def matrix_at_angle(scatter_rows, cell_flat, acos_alpha):
+    """Interpolate the 16-element matrix at a scattering angle.
+
+    ``scatter_rows``: (ncell * 180, 16) flattened per-cell matrices;
+    ``cell_flat``: (B,) flat cell indices; ``acos_alpha``: (B,) angle [rad].
+    Bins are centred at (i - 0.5) degrees (ARTES.f90:1506-1509): linear
+    interpolation between adjacent rows, clamped at the first/last bin.
+    """
+    dt = acos_alpha.dtype
+    ad = acos_alpha / _DEG  # degrees
+    t = ad - 0.5
+    r0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, N_ANGLE - 2)
+    frac = jnp.clip(t - r0.astype(dt), 0.0, 1.0)
+    base = cell_flat * N_ANGLE
+    row0 = scatter_rows[base + r0]          # (B, 16)
+    row1 = scatter_rows[base + r0 + 1]
+    m = row0 + (row1 - row0) * frac[..., None]
+    return m.reshape(m.shape[:-1] + (4, 4))
