@@ -1,0 +1,205 @@
+"""Run orchestration: wavelength/mode loops, batching, detector finalisation.
+
+Mirrors the reference's ``run`` dispatcher (ARTES.f90:121-267): spectrum mode
+re-runs transport per wavelength and appends one row per run; imaging_broad
+accumulates a single detector across wavelengths; phase mode sweeps 73
+detector azimuths at 2.5-degree steps; imaging_mono is a single run. Photon
+batches are dispatched to the jitted kernel and reduced host-side in float64.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from artes_tpu.config import ArtesConfig, DetectorSetup, detector_setup
+from artes_tpu.constants import PI, planck_lambda
+from artes_tpu.transport.kernel import KernelStatic, run_batch
+from artes_tpu.transport.tables import PreparedWavelength, build_tables
+
+PHASE_ANGLES_DEG = [1.0e-5] + [2.5 * i for i in range(1, 72)] + [180.0 - 1.0e-5]  # (:215-229)
+
+
+def package_energy(cfg: ArtesConfig, atm, wl_index: int, packages: int,
+                   emissivity_total: float, crescent: bool = False) -> float:
+    """Photon package energy [W m-2 m-1 at the observer] (ARTES.f90:2509-2539)."""
+    if cfg.photon_source == "star":
+        flux = PI * planck_lambda(cfg.t_star, atm.wavelengths[wl_index])  # stellar surface flux
+        r_p = atm.rfront[-1]
+        e = PI * flux * r_p * r_p * cfg.r_star * cfg.r_star / (
+            cfg.orbit * cfg.orbit * cfg.distance_planet * cfg.distance_planet * packages)
+        if crescent:
+            e *= 0.19  # crescent disk fraction (:2527-2531)
+        return float(e)
+    return emissivity_total / (cfg.distance_planet ** 2 * packages)
+
+
+@dataclasses.dataclass
+class WavelengthResult:
+    detector: np.ndarray        # (nx, ny, 4, 3) energy-scaled moments
+    photometry: np.ndarray      # (11,) (ARTES.f90:977-1004)
+    flux_emitted: float         # unitless Stokes-I tallies (thermal)
+    flux_exit: float
+    n_error: int
+    n_alive_at_cap: int
+    cell_depth: int
+    prep: PreparedWavelength
+
+
+def _kernel_static(cfg: ArtesConfig, det: DetectorSetup, atm, crescent: bool) -> KernelStatic:
+    geom = 4 * (atm.nr + atm.ntheta + atm.nphi) + 16
+    return KernelStatic(
+        nx=det.nx, ny=det.ny,
+        photon_source=1 if cfg.photon_source == "star" else 2,
+        photon_emission=1 if cfg.photon_emission == "isotropic" else 2,
+        photon_scattering=cfg.photon_scattering,
+        stellar_direction=cfg.stellar_direction,
+        crescent=crescent,
+        thermal_weight=cfg.thermal_weight,
+        max_scatter=256,
+        max_crossings=geom,
+    )
+
+
+def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
+                   packages: int, seed: int = 0, batch_size: int = 1 << 17,
+                   dtype=jnp.float64, crescent: bool = False,
+                   dispatch=None) -> WavelengthResult:
+    """Transport ``packages`` photons at one wavelength.
+
+    ``dispatch(tables, static, photon_ids, seed)`` may be supplied to run the
+    kernel through a device mesh (see artes_tpu.parallel); defaults to the
+    single-device jitted kernel.
+    """
+    prep = build_tables(atm, cfg, det, wl_index, dtype=dtype)
+    static = _kernel_static(cfg, det, atm, crescent)
+    fn = dispatch or run_batch
+
+    npix = det.nx * det.ny
+    detector = np.zeros((npix, 4, 3), np.float64)
+    flux_emitted = 0.0
+    flux_exit = 0.0
+    n_error = 0
+    n_alive = 0
+    start = 0
+    while start < packages:
+        n = min(batch_size, packages - start)
+        ids = jnp.arange(start, start + n, dtype=jnp.uint32)
+        out = fn(prep.tables, static, ids, seed)
+        detector += np.asarray(out["detector"], np.float64)
+        flux_emitted += float(out["flux_emitted"])
+        flux_exit += float(out["flux_exit"])
+        n_error += int(out["n_error"])
+        n_alive += int(out["n_alive_at_cap"])
+        start += n
+
+    e_pack = package_energy(cfg, atm, wl_index, packages,
+                            prep.emissivity_total, crescent)
+    det_img = detector.reshape(det.nx, det.ny, 4, 3)
+    scaled = np.empty_like(det_img)
+    scaled[..., 0] = det_img[..., 0] * e_pack      # (ARTES.f90:959-975)
+    scaled[..., 1] = det_img[..., 1] * e_pack * e_pack
+    scaled[..., 2] = det_img[..., 2]
+    return WavelengthResult(
+        detector=scaled,
+        photometry=photometry_from_detector(scaled),
+        flux_emitted=flux_emitted, flux_exit=flux_exit,
+        n_error=n_error, n_alive_at_cap=n_alive,
+        cell_depth=prep.cell_depth, prep=prep,
+    )
+
+
+def photometry_from_detector(detector: np.ndarray) -> np.ndarray:
+    """Integrated Stokes fluxes + MC errors (ARTES.f90:977-1004)."""
+    p = np.zeros(11)
+    sums = detector[..., 0].sum(axis=(0, 1))      # (4,)
+    p[0], p[2], p[4], p[6] = sums
+    p[8] = np.hypot(sums[1], sums[2])
+    p[9] = p[8] / p[0] if p[0] != 0.0 else 0.0
+    for k in range(4):
+        n = detector[..., k, 2].sum()
+        if n > 0:
+            m1 = detector[..., k, 0].sum() / n
+            m2 = detector[..., k, 1].sum() / n
+            var = m2 - m1 * m1
+            if var > 0:
+                p[2 * k + 1] = np.sqrt(var) * np.sqrt(n)
+    if p[2] ** 2 + p[4] ** 2 > 0:
+        dpi = np.sqrt(((p[2] * p[3]) ** 2 + (p[4] * p[5]) ** 2) /
+                      (2.0 * (p[2] ** 2 + p[4] ** 2)))
+        if p[0] != 0 and p[8] != 0:
+            p[10] = p[9] * np.sqrt((dpi / p[8]) ** 2 + (p[1] / p[0]) ** 2)
+    return p
+
+
+def detector_errors(detector: np.ndarray) -> np.ndarray:
+    """Per-pixel standard errors incl. degree of polarization
+    (ARTES.f90:3479-3519). Returns (nx, ny, 5)."""
+    nx, ny = detector.shape[:2]
+    err = np.zeros((nx, ny, 5))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        n = detector[..., 2]
+        m1 = np.where(n > 0, detector[..., 0] / np.maximum(n, 1), 0.0)
+        m2 = np.where(n > 0, detector[..., 1] / np.maximum(n, 1), 0.0)
+        var = m2 - m1 * m1
+        err[..., :4] = np.where((n > 0) & (var > 0), np.sqrt(np.maximum(var, 0)) * np.sqrt(n), 0.0)
+    q, u = detector[..., 1, 0], detector[..., 2, 0]
+    i = detector[..., 0, 0]
+    pol2 = q * q + u * u
+    pol = np.sqrt(pol2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dpol = np.where(pol2 > 0, np.sqrt(
+            ((q * err[..., 1]) ** 2 + (u * err[..., 2]) ** 2) / np.maximum(2 * pol2, 1e-300)), 0.0)
+        err[..., 4] = np.where(
+            (i > 0) & (pol > 0),
+            (pol / np.maximum(i, 1e-300)) * np.sqrt(
+                (dpol / np.maximum(pol, 1e-300)) ** 2 + (err[..., 0] / np.maximum(i, 1e-300)) ** 2),
+            0.0)
+    return err
+
+
+# ---------------------------------------------------------------------------
+# Modes (ARTES.f90:121-267)
+# ---------------------------------------------------------------------------
+
+def run_spectrum(atm, cfg, packages, seed=0, **kw):
+    """Per-wavelength Stokes spectrum (single-pixel detector)."""
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    results = []
+    for wl in range(atm.n_wavelength):
+        results.append(run_wavelength(atm, cfg, det, wl, packages, seed=seed + wl, **kw))
+    return det, results
+
+
+def run_imaging_mono(atm, cfg, packages, seed=0, wl_index=0, **kw):
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    return det, run_wavelength(atm, cfg, det, wl_index, packages, seed=seed, **kw)
+
+
+def run_imaging_broad(atm, cfg, packages, seed=0, **kw):
+    """Accumulate one detector across all wavelengths (ARTES.f90:168-204)."""
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    total = None
+    tallies = []
+    for wl in range(atm.n_wavelength):
+        res = run_wavelength(atm, cfg, det, wl, packages, seed=seed + wl, **kw)
+        total = res.detector if total is None else total + res.detector
+        tallies.append(res)
+    summed = dataclasses.replace(
+        tallies[-1], detector=total, photometry=photometry_from_detector(total))
+    return det, summed, tallies
+
+
+def run_phase_curve(atm, cfg, packages, seed=0, wl_index=0, **kw):
+    """73 phase angles at 2.5-degree steps (ARTES.f90:213-250)."""
+    results = []
+    for i, ang in enumerate(PHASE_ANGLES_DEG):
+        phi = ang * PI / 180.0
+        det = detector_setup(cfg, float(atm.rfront[-1]), det_phi=phi)
+        crescent = ang >= 170.0  # (:1041)
+        res = run_wavelength(atm, cfg, det, wl_index, packages, seed=seed + i,
+                             crescent=crescent, **kw)
+        results.append((ang, det, res))
+    return results

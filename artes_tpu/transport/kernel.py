@@ -1,0 +1,619 @@
+"""The photon-transport kernel: batched, masked, jit-compiled per wavelength.
+
+This is the TPU re-design of the reference's hot loop (``radiative_transfer``
+ARTES.f90:518-1006). Instead of one photon per OpenMP thread walking a branchy
+state machine, a *batch* of photons advances in lockstep through fixed-shape
+masked phases:
+
+  emit -> [thermal birth peel] -> forced-first-interaction pre-walk ->
+  march -> { roulette -> reweight -> peel -> scatter -> march } * rounds
+
+Every march (transport, detector peel) is a bounded ``lax.while_loop`` whose
+body performs one cell crossing for every active lane via the vectorized
+:func:`~artes_tpu.transport.geometry.cell_face`. Detector accumulation is a
+scatter-add into a per-batch image that the caller psum-reduces across
+devices. All randomness is counter-based (``rng.py``): a single traced draw
+counter advances in lockstep so every (photon, site) pair is unique and
+reproducible regardless of batching.
+
+Lengths are in scaled units (outer radius = 1); opacities are pre-multiplied
+by the length scale.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artes_tpu.constants import PI
+from artes_tpu.transport import geometry as G
+from artes_tpu.transport import mueller as M
+from artes_tpu.transport import rng as R
+from artes_tpu.transport import sampling as S
+
+TWO_PI = 2.0 * np.pi
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelStatic:
+    """Compile-time kernel parameters."""
+
+    nx: int
+    ny: int
+    photon_source: int          # 1 = star, 2 = planet (ARTES.f90:20)
+    photon_emission: int = 1    # 1 = isotropic, 2 = biased (:33)
+    photon_scattering: bool = True
+    stellar_direction: bool = False
+    crescent: bool = False      # phase-curve >=170 deg disk sampling (:1041-1055)
+    thermal_weight: bool = True
+    max_scatter: int = 128
+    max_crossings: int = 64
+    track_flow: bool = False
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["grid", "opacity", "albedo", "scatter_rows", "alpha_prefix",
+                      "p_int", "cell_depth", "emis_cum", "cell_weight", "det_dir",
+                      "det_trig", "x_max", "y_max", "surface_albedo", "fstop",
+                      "photon_minimum", "photon_bias", "star_theta", "star_phi"],
+         meta_fields=[])
+@dataclasses.dataclass
+class TransportTables:
+    """Per-wavelength device tables (pytree)."""
+
+    grid: G.GridGeometry
+    opacity: jnp.ndarray        # (ncell,) extinction per scaled length
+    albedo: jnp.ndarray         # (ncell,)
+    scatter_rows: jnp.ndarray   # (ncell*180, 16)
+    alpha_prefix: jnp.ndarray   # (ncell, 4, 181)
+    p_int: jnp.ndarray          # (ncell, 4)
+    cell_depth: jnp.ndarray     # scalar int32: photon floor radial face
+    emis_cum: jnp.ndarray      # (ncell,) cumulative emissivity CDF (thermal)
+    cell_weight: jnp.ndarray    # (ncell,) thermal emission weights
+    det_dir: jnp.ndarray        # (3,) unit vector to the observer
+    det_trig: jnp.ndarray       # (4,) sin/cos det theta, sin/cos det phi
+    x_max: jnp.ndarray          # scalar, scaled image half-size
+    y_max: jnp.ndarray
+    surface_albedo: jnp.ndarray
+    fstop: jnp.ndarray
+    photon_minimum: jnp.ndarray
+    photon_bias: jnp.ndarray
+    star_theta: jnp.ndarray
+    star_phi: jnp.ndarray
+
+
+def flat_cell(grid: G.GridGeometry, cell):
+    return (cell[..., 0] * grid.ntheta + cell[..., 1]) * grid.nphi + cell[..., 2]
+
+
+# ---------------------------------------------------------------------------
+# Detector splat (segment-sum re-design of the per-thread += at
+# ARTES.f90:4571-4596, :4945-4984)
+# ---------------------------------------------------------------------------
+
+def _image_coords(t: TransportTables, pos):
+    """Image-plane coordinates of a splat origin (ARTES.f90:4575-4579)."""
+    st, ct, sp, cp = t.det_trig[0], t.det_trig[1], t.det_trig[2], t.det_trig[3]
+    x, y, z = pos[..., 0], pos[..., 1], pos[..., 2]
+    x_im = y * cp - x * sp
+    y_im = z * st - y * ct * sp - x * ct * cp
+    return x_im, y_im
+
+
+def _pixel_index(t: TransportTables, static: KernelStatic, pos):
+    x_im, y_im = _image_coords(t, pos)
+    ix = jnp.floor(static.nx * (x_im + t.x_max) / (2.0 * t.x_max)).astype(jnp.int32)
+    iy = jnp.floor(static.ny * (y_im + t.y_max) / (2.0 * t.y_max)).astype(jnp.int32)
+    oob = (ix < 0) | (ix >= static.nx) | (iy < 0) | (iy >= static.ny)
+    return jnp.where(oob, -1, ix * static.ny + iy)
+
+
+def _splat(detector, pix, stokes4, mask, first_only: bool = False):
+    """Accumulate (flux, flux^2, count) x 4 Stokes at pixel indices.
+
+    ``detector``: (npix, 4, 3). Lanes with mask False (or out-of-image) are
+    dropped by scattering to index npix with mode='drop'. ``first_only``
+    mirrors the thermal/surface peels that only book Stokes I and its count
+    (ARTES.f90:4583-4585, :4691-4693); peel_photon books all four (:4945-4972).
+    """
+    npix = detector.shape[0]
+    idx = jnp.where(mask & (pix >= 0), pix, npix)
+    valid = stokes4 * mask[..., None]
+    count = jnp.ones_like(stokes4) * mask[..., None]
+    if first_only:
+        detector = detector.at[idx, 0, 0].add(valid[..., 0], mode="drop")
+        detector = detector.at[idx, 0, 1].add(valid[..., 0] ** 2, mode="drop")
+        detector = detector.at[idx, 0, 2].add(count[..., 0], mode="drop")
+    else:
+        detector = detector.at[idx, :, 0].add(valid, mode="drop")
+        detector = detector.at[idx, :, 1].add(valid * valid, mode="drop")
+        detector = detector.at[idx, :, 2].add(count, mode="drop")
+    return detector
+
+
+# ---------------------------------------------------------------------------
+# Peel walk: accumulate optical depth along the detector direction
+# (the shared grid walk of peel_thermal/surface/photon, ARTES.f90:4542-4569)
+# ---------------------------------------------------------------------------
+
+def _peel_walk(t: TransportTables, static: KernelStatic, pos, cell, face, active):
+    grid = t.grid
+
+    def cond(c):
+        return jnp.any(c["marching"]) & (c["it"] < static.max_crossings)
+
+    def body(c):
+        out = G.cell_face(grid, c["pos"], t.det_dir, c["cell"], c["face"], t.cell_depth)
+        d = out["distance"]
+        tau_cell = d * t.opacity[flat_cell(grid, c["cell"])]
+        m = c["marching"]
+        pos_new = c["pos"] + d[..., None] * t.det_dir
+        hit_surface = (out["next_face"][..., 0] == 1) & (out["next_face"][..., 1] == t.cell_depth)
+        stop = out["grid_exit"] | out["error"] | hit_surface
+        return {
+            "pos": jnp.where(m[..., None], pos_new, c["pos"]),
+            "cell": jnp.where(m[..., None], out["cell_out"], c["cell"]),
+            "face": jnp.where(m[..., None], out["next_face"], c["face"]),
+            "tau": c["tau"] + jnp.where(m, tau_cell, 0.0),
+            "exited": c["exited"] | (m & out["grid_exit"]),
+            "error": c["error"] | (m & out["error"]),
+            "marching": m & ~stop,
+            "it": c["it"] + 1,
+        }
+
+    init = {
+        "pos": pos, "cell": cell, "face": face,
+        "tau": jnp.zeros(pos.shape[:-1], pos.dtype),
+        "exited": jnp.zeros(pos.shape[:-1], bool),
+        "error": jnp.zeros(pos.shape[:-1], bool),
+        "marching": active,
+        "it": jnp.asarray(0, jnp.int32),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return out["tau"], out["exited"], out["error"]
+
+
+def _peel_thermal(t, static, detector, pos, cell, face, stokes, active):
+    """NEE at thermal birth: isotropic weight e^-tau/(4 pi) (ARTES.f90:4519-4598)."""
+    tau, exited, err = _peel_walk(t, static, pos, cell, face, active)
+    w = jnp.exp(-jnp.minimum(tau, 500.0)) / (4.0 * PI)
+    ok = active & exited & (tau < 50.0) & ~err
+    contrib = jnp.zeros(stokes.shape, stokes.dtype).at[..., 0].set(w * stokes[..., 0])
+    pix = _pixel_index(t, static, pos)
+    return _splat(detector, pix, contrib, ok, first_only=True), err
+
+
+def _peel_surface(t, static, detector, pos, cell, face, stokes, active):
+    """NEE at Lambertian reflection: weight e^-tau cos(theta)/pi (ARTES.f90:4600-4708)."""
+    grid = t.grid
+    a2 = grid.ob_ax * grid.ob_ax
+    b2 = grid.ob_by * grid.ob_by
+    c2 = grid.ob_cz * grid.ob_cz
+    normal = jnp.stack([pos[..., 0] * a2, pos[..., 1] * b2, pos[..., 2] * c2], axis=-1)
+    normal = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    cos_angle = jnp.einsum("...i,i->...", normal, t.det_dir)
+    visible = cos_angle > 0.0
+
+    # the reflected photon peels from the cell just above the surface with the
+    # surface face as current face (ARTES.f90:4640-4644)
+    cell_above = cell.at[..., 0].add(1)
+    tau, exited, err = _peel_walk(t, static, pos, cell_above, face, active & visible)
+    w = jnp.exp(-jnp.minimum(tau, 500.0)) * cos_angle / PI
+    ok = active & visible & exited & (tau < 50.0) & ~err
+    contrib = jnp.zeros(stokes.shape, stokes.dtype).at[..., 0].set(w * stokes[..., 0])
+    pix = _pixel_index(t, static, pos)
+    return _splat(detector, pix, contrib, ok, first_only=True)
+
+
+def _peel_photon(t, static, detector, pos, dirn, cell, face, stokes, active):
+    """NEE at every scattering event (ARTES.f90:4710-4990)."""
+    tau, exited, err = _peel_walk(t, static, pos, cell, face, active)
+    w = jnp.exp(-jnp.minimum(tau, 500.0))
+    ok = active & exited & (tau < 50.0) & ~err
+
+    eps = 1.0e-10
+    mu = jnp.einsum("...i,i->...", dirn, t.det_dir)
+    mu = jnp.clip(mu, -1.0 + eps, 1.0 - eps)
+    scatter = S.matrix_at_angle(t.scatter_rows, flat_cell(t.grid, cell), jnp.arccos(mu))
+
+    # azimuth of the detector-pointing scatter (ARTES.f90:4864-4916)
+    dz = dirn[..., 2]
+    phi_old = jnp.mod(jnp.arctan2(dirn[..., 1], dirn[..., 0]), TWO_PI)
+    phi_new = jnp.mod(jnp.arctan2(t.det_dir[1], t.det_dir[0]), TWO_PI)
+    denom = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0)) * jnp.sqrt(jnp.maximum(1.0 - dz * dz, 0.0))
+    num = (t.det_dir[2] - dz * mu) / jnp.where(denom == 0.0, 1.0, denom)
+    phi_sc = jnp.arccos(jnp.clip(num, -1.0 + eps, 1.0 - eps))
+    flip = jnp.mod(phi_old - phi_new, TWO_PI) < PI
+    phi_sc = jnp.where(flip, TWO_PI - phi_sc, phi_sc)
+
+    stokes_out = M.polarization_rotation(mu, phi_sc, stokes, scatter, dirn,
+                                         jnp.broadcast_to(t.det_dir, dirn.shape),
+                                         peeling=True)
+    # detector Q sign flip (ARTES.f90:4956)
+    contrib = stokes_out * jnp.asarray([1.0, -1.0, 1.0, 1.0], stokes.dtype) * w[..., None]
+    pix = _pixel_index(t, static, pos)
+    return _splat(detector, pix, contrib, ok)
+
+
+# ---------------------------------------------------------------------------
+# Emission (ARTES.f90:1008-1268)
+# ---------------------------------------------------------------------------
+
+def _emit(t: TransportTables, static: KernelStatic, keys, counter, dtype):
+    n = keys.shape[0]
+    grid = t.grid
+
+    def draw(c):
+        return R.uniform(keys, c, dtype), c + 1
+
+    if static.photon_source == 1:
+        # stellar: uniform disk aimed at -x (ARTES.f90:1027-1115)
+        u1, counter = draw(counter)
+        u2, counter = draw(counter)
+        if static.crescent:
+            # crescent sampling r > 0.9 by inverse transform (:1041-1049)
+            u1 = 0.81 + 0.19 * u1
+        r_disk = jnp.sqrt(u1)
+        phi_disk = TWO_PI * u2
+        disk1 = r_disk * jnp.sin(phi_disk)
+        disk2 = r_disk * jnp.cos(phi_disk)
+        x = jnp.sqrt(jnp.maximum(1.0 - disk1 * disk1 - disk2 * disk2, 0.0))
+        pos = jnp.stack([x, disk1, disk2], axis=-1)
+        dirn = jnp.broadcast_to(jnp.asarray([-1.0, 0.0, 0.0], dtype), pos.shape)
+        if static.stellar_direction:
+            rot_y = M.rotation_matrix(1, -(PI / 2.0 - t.star_theta))
+            rot_z = M.rotation_matrix(2, t.star_phi)
+            rot = rot_z @ rot_y
+            pos = jnp.einsum("ij,...j->...i", rot, pos)
+            theta_dir = jnp.mod(PI - t.star_theta, TWO_PI)
+            phi_dir = jnp.mod(PI + t.star_phi, TWO_PI)
+            d = jnp.stack([jnp.sin(theta_dir) * jnp.cos(phi_dir),
+                           jnp.sin(theta_dir) * jnp.sin(phi_dir),
+                           jnp.cos(theta_dir)])
+            dirn = jnp.broadcast_to(d, pos.shape)
+        cell = G.locate_cell(grid, pos, jnp.full((n,), grid.nr - 1, jnp.int32))
+        face = jnp.broadcast_to(jnp.asarray([1, grid.nr], jnp.int32), (n, 2))
+        bias_weight = jnp.ones(n, dtype)
+        return pos, dirn, cell, face, bias_weight, counter
+
+    # thermal: sample cell from the cumulative-emissivity CDF (:1124-1155)
+    u_cell, counter = draw(counter)
+    total = t.emis_cum[-1]
+    target = u_cell * total
+    idx = jnp.searchsorted(t.emis_cum, target, side="left").astype(jnp.int32)
+    idx = jnp.clip(idx, 0, t.emis_cum.shape[0] - 1)
+    cr = idx // (grid.ntheta * grid.nphi)
+    ct = (idx // grid.nphi) % grid.ntheta
+    cp = idx % grid.nphi
+    cell = jnp.stack([cr, ct, cp], axis=-1)
+
+    u_r, counter = draw(counter)
+    u_t, counter = draw(counter)
+    u_p, counter = draw(counter)
+    r = grid.rfront[cr] + u_r * (grid.rfront[cr + 1] - grid.rfront[cr])
+    cos_t = grid.theta_cos[ct] + u_t * (grid.theta_cos[ct + 1] - grid.theta_cos[ct])
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    if grid.nphi == 1:
+        phi = TWO_PI * u_p
+    else:
+        phifront = jnp.arctan2(grid.phi_sin, grid.phi_cos)
+        phifront = jnp.where(phifront < 0.0, phifront + TWO_PI, phifront)
+        phi_lo = phifront[cp]
+        phi_hi = jnp.where(cp == grid.nphi - 1, TWO_PI, phifront[jnp.minimum(cp + 1, grid.nphi - 1)])
+        phi = phi_lo + u_p * (phi_hi - phi_lo)
+    pos = jnp.stack([r * sin_t * jnp.cos(phi) / grid.ob_ax,
+                     r * sin_t * jnp.sin(phi) / grid.ob_by,
+                     r * cos_t / grid.ob_cz], axis=-1)
+
+    u_a, counter = draw(counter)
+    u_b, counter = draw(counter)
+    if static.photon_emission == 1:
+        # isotropic (:1212-1227)
+        alpha = 2.0 * u_a - 1.0
+        beta = TWO_PI * u_b
+        s = jnp.sqrt(jnp.maximum(1.0 - alpha * alpha, 0.0))
+        dirn = jnp.stack([s * jnp.cos(beta), s * jnp.sin(beta), alpha], axis=-1)
+        bias_weight = jnp.ones(n, dtype)
+    else:
+        # biased upward, Gordon 1987 (:1229-1254)
+        bias = t.photon_bias
+        y_bias = (1.0 + bias) * jnp.tan(PI * u_a / 2.0) / jnp.sqrt(1.0 - bias * bias)
+        theta_s = jnp.arccos(jnp.clip((1.0 - y_bias * y_bias) / (1.0 + y_bias * y_bias), -1.0, 1.0))
+        beta = TWO_PI * u_b
+        a2 = grid.ob_ax * grid.ob_ax
+        b2 = grid.ob_by * grid.ob_by
+        c2 = grid.ob_cz * grid.ob_cz
+        radial_unit = jnp.stack([pos[..., 0] * a2, pos[..., 1] * b2, pos[..., 2] * c2], axis=-1)
+        radial_unit = radial_unit / jnp.linalg.norm(radial_unit, axis=-1, keepdims=True)
+        dirn = M.direction_cosine(jnp.cos(PI - theta_s), beta, radial_unit)
+        bias_weight = (PI * jnp.sin(theta_s) * (1.0 + bias * jnp.cos(theta_s))) / \
+            (2.0 * jnp.sqrt(1.0 - bias * bias))
+    face = jnp.zeros((n, 2), jnp.int32)
+    return pos, dirn, cell, face, bias_weight, counter
+
+
+# ---------------------------------------------------------------------------
+# Transport march: walk to the next interaction point / exit / surface
+# (the do-loops at ARTES.f90:687-778 and :850-941)
+# ---------------------------------------------------------------------------
+
+def _march(t: TransportTables, static: KernelStatic, keys, counter,
+           pos, dirn, cell, face, stokes, tau, active, detector):
+    grid = t.grid
+
+    def cond(c):
+        return jnp.any(c["marching"]) & (c["it"] < static.max_crossings)
+
+    def body(c):
+        m = c["marching"]
+        out = G.cell_face(grid, c["pos"], c["dirn"], c["cell"], c["face"], t.cell_depth)
+        d = out["distance"]
+        k = t.opacity[flat_cell(grid, c["cell"])]
+        tau_cell = d * k
+        interact = c["tau_run"] + tau_cell > c["tau"]
+        s_int = (c["tau"] - c["tau_run"]) / jnp.where(k == 0.0, 1.0, k)
+        step = jnp.where(interact, s_int, d)
+        pos_new = c["pos"] + step[..., None] * c["dirn"]
+
+        hit_surface = ~interact & (out["next_face"][..., 0] == 1) & \
+            (out["next_face"][..., 1] == t.cell_depth)
+        # surface event: absorb or Lambertian-reflect (ARTES.f90:755-774)
+        u_s = R.uniform(keys, c["counter"], stokes.dtype)
+        absorbed = m & hit_surface & (u_s > t.surface_albedo)
+        reflected = m & hit_surface & ~absorbed & ~out["error"]
+
+        # Lambertian reflection direction (ARTES.f90:1369-1402)
+        u_l1 = R.uniform(keys, c["counter"] + 1, stokes.dtype)
+        u_l2 = R.uniform(keys, c["counter"] + 2, stokes.dtype)
+        a2, b2, c2g = grid.ob_ax * grid.ob_ax, grid.ob_by * grid.ob_by, grid.ob_cz * grid.ob_cz
+        normal = jnp.stack([pos_new[..., 0] * a2, pos_new[..., 1] * b2,
+                            pos_new[..., 2] * c2g], axis=-1)
+        normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-300)
+        lam_dir = M.direction_cosine(jnp.sqrt(u_l1), TWO_PI * u_l2, normal)
+
+        # peel the pre-reflection Stokes from the surface point; skipped
+        # entirely when no lane reflected (zero-albedo surfaces)
+        def do_peel(det):
+            return _peel_surface(t, static, det, pos_new, out["cell_out"],
+                                 out["next_face"], c["stokes"], reflected)
+
+        detector_new = jax.lax.cond(jnp.any(reflected), do_peel, lambda det: det,
+                                    c["detector"])
+
+        stokes_new = jnp.where(
+            reflected[..., None],
+            jnp.stack([c["stokes"][..., 0], jnp.zeros_like(u_s),
+                       jnp.zeros_like(u_s), jnp.zeros_like(u_s)], axis=-1),
+            c["stokes"])
+        dirn_new = jnp.where(reflected[..., None], lam_dir, c["dirn"])
+        # reflected photon re-enters the cell above the surface (:770)
+        cell_after = jnp.where(reflected[..., None],
+                               out["cell_out"].at[..., 0].add(1), out["cell_out"])
+
+        crossing = m & ~interact
+        stop_interact = m & interact
+        exited = c["exited"] | (crossing & out["grid_exit"] & ~hit_surface)
+        err = c["error"] | (m & out["error"])
+        still = crossing & ~out["grid_exit"] & ~absorbed & ~err
+
+        return {
+            "pos": jnp.where(m[..., None], pos_new, c["pos"]),
+            "dirn": jnp.where(m[..., None], dirn_new, c["dirn"]),
+            "cell": jnp.where(crossing[..., None], cell_after, c["cell"]),
+            "face": jnp.where(crossing[..., None], out["next_face"],
+                              jnp.where(stop_interact[..., None],
+                                        jnp.zeros_like(c["face"]), c["face"])),
+            "stokes": jnp.where(m[..., None], stokes_new, c["stokes"]),
+            "tau_run": c["tau_run"] + jnp.where(crossing, tau_cell, 0.0),
+            "tau": c["tau"],
+            "interacted": c["interacted"] | stop_interact,
+            "exited": exited,
+            "absorbed": c["absorbed"] | absorbed,
+            "error": err,
+            "marching": still,
+            "detector": detector_new,
+            "counter": c["counter"] + 3,
+            "it": c["it"] + 1,
+        }
+
+    init = {
+        "pos": pos, "dirn": dirn, "cell": cell, "face": face, "stokes": stokes,
+        "tau_run": jnp.zeros_like(tau), "tau": tau,
+        "interacted": jnp.zeros(tau.shape, bool),
+        "exited": jnp.zeros(tau.shape, bool),
+        "absorbed": jnp.zeros(tau.shape, bool),
+        "error": jnp.zeros(tau.shape, bool),
+        "marching": active,
+        "detector": detector,
+        "counter": counter,
+        "it": jnp.asarray(0, jnp.int32),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    # lanes still marching at the crossing cap are abandoned as errors
+    out["error"] = out["error"] | out["marching"]
+    final_counter = counter + 3 * static.max_crossings
+    return out, final_counter
+
+
+def _first_tau_walk(t: TransportTables, static: KernelStatic, pos, dirn, cell, face, active):
+    """Pre-walk to the grid edge/surface accumulating tau_first
+    (ARTES.f90:623-656)."""
+    grid = t.grid
+
+    def cond(c):
+        return jnp.any(c["marching"]) & (c["it"] < static.max_crossings)
+
+    def body(c):
+        out = G.cell_face(grid, c["pos"], dirn, c["cell"], c["face"], t.cell_depth)
+        d = out["distance"]
+        tau_cell = d * t.opacity[flat_cell(grid, c["cell"])]
+        m = c["marching"]
+        hit_surface = (out["next_face"][..., 0] == 1) & (out["next_face"][..., 1] == t.cell_depth)
+        stop = out["grid_exit"] | out["error"] | hit_surface
+        return {
+            "pos": jnp.where(m[..., None], c["pos"] + d[..., None] * dirn, c["pos"]),
+            "cell": jnp.where(m[..., None], out["cell_out"], c["cell"]),
+            "face": jnp.where(m[..., None], out["next_face"], c["face"]),
+            "tau": c["tau"] + jnp.where(m, tau_cell, 0.0),
+            "surface": c["surface"] | (m & hit_surface),
+            "error": c["error"] | (m & out["error"]),
+            "marching": m & ~stop,
+            "it": c["it"] + 1,
+        }
+
+    init = {
+        "pos": pos, "cell": cell, "face": face,
+        "tau": jnp.zeros(pos.shape[:-1], pos.dtype),
+        "surface": jnp.zeros(pos.shape[:-1], bool),
+        "error": jnp.zeros(pos.shape[:-1], bool),
+        "marching": active,
+        "it": jnp.asarray(0, jnp.int32),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return out["tau"], out["surface"], out["error"]
+
+
+# ---------------------------------------------------------------------------
+# The full batch kernel
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1,))
+def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
+    """Transport one batch of photons; returns detector sums + energy tallies.
+
+    ``photon_ids``: (B,) global photon indices (determinism + device sharding).
+    Returns dict: detector (nx*ny, 4, 3), flux_emitted, flux_exit, n_error,
+    n_alive_at_cap.
+    """
+    t = tables
+    dtype = t.opacity.dtype
+    n = photon_ids.shape[0]
+    keys = R.photon_keys(seed, photon_ids)
+    counter = jnp.asarray(0, jnp.uint32)
+
+    detector = jnp.zeros((static.nx * static.ny, 4, 3), dtype)
+
+    pos, dirn, cell, face, bias_weight, counter = _emit(t, static, keys, counter, dtype)
+    stokes = jnp.zeros((n, 4), dtype).at[:, 0].set(1.0)
+    active = jnp.ones(n, bool)
+
+    flux_emitted = jnp.zeros((), dtype)
+    if static.photon_source == 2:
+        # thermal birth: weight + birth peel (ARTES.f90:599-621)
+        w = bias_weight / t.cell_weight[flat_cell(t.grid, cell)]
+        stokes = stokes.at[:, 0].multiply(w)
+        flux_emitted = jnp.sum(stokes[:, 0])
+        detector, birth_err = _peel_thermal(t, static, detector, pos, cell, face, stokes, active)
+        active = active & ~birth_err
+
+    # forced first interaction (ARTES.f90:623-685)
+    tau_first, surface_hit, pre_err = _first_tau_walk(t, static, pos, dirn, cell, face, active)
+    active = active & ~pre_err
+    u_tau = R.uniform(keys, counter, dtype)
+    counter = counter + 1
+    thin = tau_first < 1.0e-6
+    # photons through vacuum that do not hit the surface are dropped (:660-664)
+    active = active & ~(thin & ~surface_hit)
+    forced = (~thin) & (tau_first < 50.0)
+    one_m_exp = 1.0 - jnp.exp(-tau_first)
+    tau = jnp.where(forced,
+                    -jnp.log(1.0 - u_tau * one_m_exp),
+                    -jnp.log(1.0 - u_tau))
+    stokes = jnp.where(forced[..., None], stokes * one_m_exp[..., None], stokes)
+
+    m_out, counter = _march(t, static, keys, counter, pos, dirn, cell, face,
+                            stokes, tau, active, detector)
+    detector = m_out["detector"]
+    pos, dirn, cell, face, stokes = (m_out["pos"], m_out["dirn"], m_out["cell"],
+                                     m_out["face"], m_out["stokes"])
+    flux_exit = jnp.zeros((), dtype)
+    if static.photon_source == 2:
+        flux_exit = flux_exit + jnp.sum(jnp.where(m_out["exited"] & active, stokes[:, 0], 0.0))
+    n_error = jnp.sum((m_out["error"] & active).astype(jnp.int32))
+    alive = active & m_out["interacted"] & ~m_out["error"]
+
+    # ---- scatter loop (ARTES.f90:786-951) ----
+    if static.photon_scattering:
+        def s_cond(c):
+            return jnp.any(c["alive"]) & (c["round"] < static.max_scatter)
+
+        def s_body(c):
+            alive = c["alive"]
+            counter = c["counter"]
+            stokes = c["stokes"]
+            # russian roulette (:793-807)
+            u_r = R.uniform(keys, counter, dtype)
+            counter = counter + 1
+            killed = alive & (u_r < t.fstop)
+            alive = alive & ~killed
+            cf = flat_cell(t.grid, c["cell"])
+            alb = t.albedo[cf]
+            gamma = jnp.where((alb < 1.0) & (alb > 0.0), alb / (1.0 - t.fstop), 1.0)
+            stokes = jnp.where(alive[..., None], stokes * gamma[..., None], stokes)
+            # minimum-energy removal (:810-813)
+            too_small = alive & (stokes[..., 0] <= t.photon_minimum)
+            alive = alive & ~too_small
+
+            # peel to detector (:815)
+            detector = _peel_photon(t, static, c["detector"], c["pos"], c["dirn"],
+                                    c["cell"], c["face"], stokes, alive)
+
+            # sample scattering angles (:819 -> 1534-1661)
+            u1 = R.uniform(keys, counter, dtype)
+            u2 = R.uniform(keys, counter + 1, dtype)
+            u3 = R.uniform(keys, counter + 2, dtype)
+            counter = counter + 3
+            beta = S.sample_beta(t.p_int[cf], stokes, u1, u2)
+            alpha = S.sample_alpha(t.alpha_prefix[cf], stokes, beta, u3)
+            dir_new = M.direction_cosine(alpha, beta, c["dirn"])
+            scatter = S.matrix_at_angle(t.scatter_rows, cf, jnp.arccos(alpha))
+            stokes_new = M.polarization_rotation(alpha, beta, stokes, scatter,
+                                                 c["dirn"], dir_new, peeling=False)
+            stokes = jnp.where(alive[..., None], stokes_new, stokes)
+            dirn = jnp.where(alive[..., None], dir_new, c["dirn"])
+
+            # next optical depth + march (:845-941)
+            u_t2 = R.uniform(keys, counter, dtype)
+            counter = counter + 1
+            tau = -jnp.log(1.0 - u_t2)
+            m_out, counter = _march(t, static, keys, counter, c["pos"], dirn,
+                                    c["cell"], c["face"], stokes, tau, alive, detector)
+            flux_exit = c["flux_exit"]
+            if static.photon_source == 2:
+                flux_exit = flux_exit + jnp.sum(
+                    jnp.where(m_out["exited"] & alive, m_out["stokes"][:, 0], 0.0))
+            n_error = c["n_error"] + jnp.sum((m_out["error"] & alive).astype(jnp.int32))
+            alive = alive & m_out["interacted"] & ~m_out["error"]
+            return {
+                "pos": m_out["pos"], "dirn": m_out["dirn"], "cell": m_out["cell"],
+                "face": m_out["face"], "stokes": m_out["stokes"],
+                "alive": alive, "detector": m_out["detector"],
+                "flux_exit": flux_exit, "n_error": n_error,
+                "counter": counter, "round": c["round"] + 1,
+            }
+
+        carry = {
+            "pos": pos, "dirn": dirn, "cell": cell, "face": face, "stokes": stokes,
+            "alive": alive, "detector": detector, "flux_exit": flux_exit,
+            "n_error": n_error, "counter": counter,
+            "round": jnp.asarray(0, jnp.int32),
+        }
+        carry = jax.lax.while_loop(s_cond, s_body, carry)
+        detector = carry["detector"]
+        flux_exit = carry["flux_exit"]
+        n_error = carry["n_error"]
+        n_alive_cap = jnp.sum(carry["alive"].astype(jnp.int32))
+    else:
+        n_alive_cap = jnp.sum(alive.astype(jnp.int32))
+
+    return {
+        "detector": detector,
+        "flux_emitted": flux_emitted,
+        "flux_exit": flux_exit,
+        "n_error": n_error,
+        "n_alive_at_cap": n_alive_cap,
+    }
