@@ -1,0 +1,163 @@
+"""Command-line interface: the reference's run contract.
+
+Usage (mirrors README:1-147 / ARTES.f90:4232-4309):
+
+    python -m artes_tpu.cli <atmosphere> <photons> -o <run> [-k key=value ...]
+    python -m artes_tpu.cli build <atmosphere>         # atmosphere.py equivalent
+
+Reads ``input/<atmosphere>/artes.in`` (+ atmosphere.fits), runs the configured
+mode, and writes the full output tree ``output/<run>/{input,output,plot}`` with
+input snapshotting (the reference copies inputs and appends -k overrides,
+ARTES.f90:4283-4304).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+import numpy as np
+
+
+def build_main(argv=None):
+    p = argparse.ArgumentParser(prog="artes_tpu build")
+    p.add_argument("atmosphere", help="name under input/")
+    p.add_argument("--root", default=".")
+    args = p.parse_args(argv)
+    from artes_tpu.atmosphere import build_and_write
+
+    directory = os.path.join(args.root, "input", args.atmosphere)
+    atm = build_and_write(directory)
+    print(f"atmosphere.fits written: nr={atm.nr} ntheta={atm.ntheta} "
+          f"nphi={atm.nphi} n_wavelength={atm.n_wavelength}")
+    return 0
+
+
+def run_main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="artes_tpu",
+        description="TPU-native polarized Monte Carlo radiative transfer")
+    p.add_argument("atmosphere", help="input directory name under input/")
+    p.add_argument("photons", type=float, help="number of photon packages")
+    p.add_argument("-o", "--output", default="run", help="output directory name")
+    p.add_argument("-k", "--keyword", action="append", default=[],
+                   metavar="key=value", help="override any artes.in key")
+    p.add_argument("--root", default=".")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=1 << 17)
+    p.add_argument("--f64", action="store_true", help="run transport in float64")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard photons over all local devices")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from artes_tpu.atmosphere import load_artifact
+    from artes_tpu.config import detector_setup, load_config, snapshot
+    from artes_tpu import output as out
+    from artes_tpu import runner
+
+    atm_dir = os.path.join(args.root, "input", args.atmosphere)
+    cfg = load_config(os.path.join(atm_dir, "artes.in"), overrides=args.keyword)
+    atm = load_artifact(os.path.join(atm_dir, "atmosphere.fits"))
+    packages = int(args.photons)
+
+    # output tree + input snapshot (ARTES.f90:4271-4304)
+    dirs = out.OutputDirs(args.root, args.output)
+    for name in ("artes.in", "atmosphere.in", "atmosphere.dat", "pressureTemperature.dat"):
+        src = os.path.join(atm_dir, name)
+        if os.path.isfile(src):
+            shutil.copy(src, dirs.input)
+    with open(os.path.join(dirs.input, "artes.in.effective"), "w") as fh:
+        fh.write(snapshot(cfg))
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    dispatch = None
+    if args.mesh:
+        from artes_tpu.parallel import make_mesh, round_up_batch, sharded_dispatch
+        import jax
+        mesh = make_mesh()
+        dispatch = sharded_dispatch(mesh)
+        args.batch_size = round_up_batch(args.batch_size, mesh.devices.size)
+
+    kw = dict(seed=args.seed, batch_size=args.batch_size, dtype=dtype,
+              dispatch=dispatch)
+
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    report = out.RunReport(dirs, cfg.log_file)
+    report.stage1(cfg, atm, det)
+    out.write_plot_dat(dirs, cfg, atm, det)
+    n_error = 0
+
+    if cfg.mode == "spectrum":
+        for wl in range(atm.n_wavelength):
+            res = runner.run_wavelength(atm, cfg, det, wl, packages,
+                                        seed=args.seed + wl, **{k: v for k, v in kw.items() if k != "seed"})
+            if wl == 0:
+                report.stage2(cfg, atm, det, packages, 0, res.cell_depth)
+            wl_m = atm.wavelengths[wl]
+            out.write_spectrum_row(dirs, wl_m, res)
+            out.write_optical_depth(dirs, atm, wl)
+            out.write_cell_depth(dirs, wl_m, res.cell_depth)
+            if cfg.photon_source == "star":
+                out.write_normalization(dirs, cfg, atm, wl_m)
+            else:
+                out.write_luminosity(dirs, wl_m, res, packages)
+            n_error += res.n_error
+            print(f"\rWavelength: {wl_m * 1e6:7.3f} micron", end="", file=sys.stderr)
+        print(file=sys.stderr)
+        report.stage3(cfg, atm, res, atm.n_wavelength - 1)
+
+    elif cfg.mode == "imaging_mono":
+        det, res = runner.run_imaging_mono(atm, cfg, packages, **kw)
+        report.stage2(cfg, atm, det, packages, 0, res.cell_depth)
+        out.write_stokes_fits(dirs, det, res)
+        out.write_photometry(dirs, atm.wavelengths[0], res)
+        out.write_cell_depth(dirs, atm.wavelengths[0], res.cell_depth)
+        if cfg.photon_source == "star":
+            out.write_normalization(dirs, cfg, atm, atm.wavelengths[0])
+        else:
+            out.write_luminosity(dirs, atm.wavelengths[0], res, packages)
+            if res.prep.cell_luminosity is not None:
+                out.write_cell_luminosity(dirs, res.prep.cell_luminosity)
+        n_error += res.n_error
+        report.stage3(cfg, atm, res)
+
+    elif cfg.mode == "imaging_broad":
+        det, summed, tallies = runner.run_imaging_broad(atm, cfg, packages, **kw)
+        report.stage2(cfg, atm, det, packages, 0, tallies[0].cell_depth)
+        out.write_stokes_fits(dirs, det, summed)
+        for wl, res in enumerate(tallies):
+            out.write_optical_depth(dirs, atm, wl)
+            n_error += res.n_error
+        report.stage3(cfg, atm, summed)
+
+    elif cfg.mode == "phase":
+        results = runner.run_phase_curve(atm, cfg, packages, **kw)
+        report.stage2(cfg, atm, results[0][1], packages, 0, results[0][2].cell_depth)
+        for ang, det_a, res in results:
+            out.write_phase_row(dirs, ang, res)
+            if cfg.photon_source == "star" and ang < 1.0:
+                out.write_normalization(dirs, cfg, atm, atm.wavelengths[0])
+            n_error += res.n_error
+            print(f"\rPhase angle: {ang:6.1f} degrees", end="", file=sys.stderr)
+        print(file=sys.stderr)
+
+    if n_error:
+        out.write_error_log(dirs, [("031/geometry", n_error)])
+    report.stage4(n_error)
+    out.send_completion_email(cfg, args.output)
+    return 0
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "build":
+        return build_main(argv[1:])
+    return run_main(argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
