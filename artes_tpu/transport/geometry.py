@@ -216,28 +216,33 @@ def cell_face(g: GridGeometry, pos, dirn, cell, cur_face, cell_depth):
         g, pos, dirn, g.rfront[cr + 1], jnp.where(r_same, same_eps, pos_eps)
     )
 
-    # ---- theta candidates ----
-    t_in_same = cur_t & (ct == fidx) & ~g.theta_above[jnp.clip(fidx, 0, g.ntheta)]
-    t_in_active = (ct > 0) & (
-        ~cur_t | (cur_t & (ct == fidx - 1)) | t_in_same
-    )
-    is_cone_in, d_cone_in, s_plane_in = _cone_distance(
-        g, pos, dirn, ct, jnp.where(t_in_same, same_eps, pos_eps)
-    )
-    # plane branch: inner face is crossed moving up (ARTES.f90:3068)
-    nz = dirn[..., 2]
-    d_plane_in = jnp.where((s_plane_in > 0.0) & (nz > pos_eps), s_plane_in, 0.0)
-    d_t_in = jnp.where(t_in_active, jnp.where(is_cone_in, d_cone_in, d_plane_in), 0.0)
+    # ---- theta candidates (skipped entirely for 1-cell polar grids: the only
+    # faces are the degenerate poles, never crossable) ----
+    if g.ntheta > 1:
+        t_in_same = cur_t & (ct == fidx) & ~g.theta_above[jnp.clip(fidx, 0, g.ntheta)]
+        t_in_active = (ct > 0) & (
+            ~cur_t | (cur_t & (ct == fidx - 1)) | t_in_same
+        )
+        is_cone_in, d_cone_in, s_plane_in = _cone_distance(
+            g, pos, dirn, ct, jnp.where(t_in_same, same_eps, pos_eps)
+        )
+        # plane branch: inner face is crossed moving up (ARTES.f90:3068)
+        nz = dirn[..., 2]
+        d_plane_in = jnp.where((s_plane_in > 0.0) & (nz > pos_eps), s_plane_in, 0.0)
+        d_t_in = jnp.where(t_in_active, jnp.where(is_cone_in, d_cone_in, d_plane_in), 0.0)
 
-    t_out_same = cur_t & (ct == fidx - 1) & g.theta_above[jnp.clip(fidx, 0, g.ntheta)]
-    t_out_active = (ct + 1 < g.ntheta) & (
-        ~cur_t | (cur_t & (ct == fidx)) | t_out_same
-    )
-    is_cone_out, d_cone_out, s_plane_out = _cone_distance(
-        g, pos, dirn, ct + 1, jnp.where(t_out_same, same_eps, pos_eps)
-    )
-    d_plane_out = jnp.where((s_plane_out > 0.0) & (nz < -pos_eps), s_plane_out, 0.0)
-    d_t_out = jnp.where(t_out_active, jnp.where(is_cone_out, d_cone_out, d_plane_out), 0.0)
+        t_out_same = cur_t & (ct == fidx - 1) & g.theta_above[jnp.clip(fidx, 0, g.ntheta)]
+        t_out_active = (ct + 1 < g.ntheta) & (
+            ~cur_t | (cur_t & (ct == fidx)) | t_out_same
+        )
+        is_cone_out, d_cone_out, s_plane_out = _cone_distance(
+            g, pos, dirn, ct + 1, jnp.where(t_out_same, same_eps, pos_eps)
+        )
+        d_plane_out = jnp.where((s_plane_out > 0.0) & (nz < -pos_eps), s_plane_out, 0.0)
+        d_t_out = jnp.where(t_out_active, jnp.where(is_cone_out, d_cone_out, d_plane_out), 0.0)
+    else:
+        d_t_in = jnp.zeros_like(d_r_in)
+        d_t_out = jnp.zeros_like(d_r_in)
 
     # ---- phi candidates ----
     if g.nphi > 1:

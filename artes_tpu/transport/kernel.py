@@ -361,38 +361,52 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
 
         hit_surface = ~interact & (out["next_face"][..., 0] == 1) & \
             (out["next_face"][..., 1] == t.cell_depth)
-        # surface event: absorb or Lambertian-reflect (ARTES.f90:755-774)
-        u_s = R.uniform(keys, c["counter"], stokes.dtype)
-        absorbed = m & hit_surface & (u_s > t.surface_albedo)
-        reflected = m & hit_surface & ~absorbed & ~out["error"]
+        any_surface = jnp.any(m & hit_surface)
 
-        # Lambertian reflection direction (ARTES.f90:1369-1402)
-        u_l1 = R.uniform(keys, c["counter"] + 1, stokes.dtype)
-        u_l2 = R.uniform(keys, c["counter"] + 2, stokes.dtype)
-        a2, b2, c2g = grid.ob_ax * grid.ob_ax, grid.ob_by * grid.ob_by, grid.ob_cz * grid.ob_cz
-        normal = jnp.stack([pos_new[..., 0] * a2, pos_new[..., 1] * b2,
-                            pos_new[..., 2] * c2g], axis=-1)
-        normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-300)
-        lam_dir = M.direction_cosine(jnp.sqrt(u_l1), TWO_PI * u_l2, normal)
+        # surface event: absorb or Lambertian-reflect (ARTES.f90:755-774).
+        # The whole machinery (3 RNG draws, surface normal, reflection
+        # direction, detector peel) is skipped when no lane is on the surface
+        # this crossing — the common case for surfaceless/deep atmospheres.
+        def surface_branch(ops):
+            detector, stokes_in, dirn_in, cell_out_in = ops
+            u_s = R.uniform(keys, c["counter"], stokes.dtype)
+            absorbed_b = m & hit_surface & (u_s > t.surface_albedo)
+            reflected = m & hit_surface & ~absorbed_b & ~out["error"]
 
-        # peel the pre-reflection Stokes from the surface point; skipped
-        # entirely when no lane reflected (zero-albedo surfaces)
-        def do_peel(det):
-            return _peel_surface(t, static, det, pos_new, out["cell_out"],
-                                 out["next_face"], c["stokes"], reflected)
+            # Lambertian reflection direction (ARTES.f90:1369-1402)
+            u_l1 = R.uniform(keys, c["counter"] + 1, stokes.dtype)
+            u_l2 = R.uniform(keys, c["counter"] + 2, stokes.dtype)
+            a2, b2, c2g = grid.ob_ax * grid.ob_ax, grid.ob_by * grid.ob_by, grid.ob_cz * grid.ob_cz
+            normal = jnp.stack([pos_new[..., 0] * a2, pos_new[..., 1] * b2,
+                                pos_new[..., 2] * c2g], axis=-1)
+            normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-300)
+            lam_dir = M.direction_cosine(jnp.sqrt(u_l1), TWO_PI * u_l2, normal)
 
-        detector_new = jax.lax.cond(jnp.any(reflected), do_peel, lambda det: det,
-                                    c["detector"])
+            detector_new = jax.lax.cond(
+                jnp.any(reflected),
+                lambda det: _peel_surface(t, static, det, pos_new, cell_out_in,
+                                          out["next_face"], stokes_in, reflected),
+                lambda det: det, detector)
 
-        stokes_new = jnp.where(
-            reflected[..., None],
-            jnp.stack([c["stokes"][..., 0], jnp.zeros_like(u_s),
-                       jnp.zeros_like(u_s), jnp.zeros_like(u_s)], axis=-1),
-            c["stokes"])
-        dirn_new = jnp.where(reflected[..., None], lam_dir, c["dirn"])
-        # reflected photon re-enters the cell above the surface (:770)
-        cell_after = jnp.where(reflected[..., None],
-                               out["cell_out"].at[..., 0].add(1), out["cell_out"])
+            stokes_new = jnp.where(
+                reflected[..., None],
+                jnp.stack([stokes_in[..., 0], jnp.zeros_like(u_s),
+                           jnp.zeros_like(u_s), jnp.zeros_like(u_s)], axis=-1),
+                stokes_in)
+            dirn_new = jnp.where(reflected[..., None], lam_dir, dirn_in)
+            # reflected photon re-enters the cell above the surface (:770)
+            cell_after = jnp.where(reflected[..., None],
+                                   cell_out_in.at[..., 0].add(1), cell_out_in)
+            return detector_new, stokes_new, dirn_new, cell_after, absorbed_b
+
+        def no_surface(ops):
+            detector, stokes_in, dirn_in, cell_out_in = ops
+            return (detector, stokes_in, dirn_in, cell_out_in,
+                    jnp.zeros_like(hit_surface))
+
+        detector_new, stokes_new, dirn_new, cell_after, absorbed = jax.lax.cond(
+            any_surface, surface_branch, no_surface,
+            (c["detector"], c["stokes"], c["dirn"], out["cell_out"]))
 
         crossing = m & ~interact
         stop_interact = m & interact
