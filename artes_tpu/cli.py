@@ -122,6 +122,11 @@ def run_main(argv=None):
             out.write_luminosity(dirs, atm.wavelengths[0], res, packages)
             if res.prep.cell_luminosity is not None:
                 out.write_cell_luminosity(dirs, res.prep.cell_luminosity)
+        if cfg.flow_global and res.flow_global is not None:
+            out.write_flow_global(dirs, res.flow_global, res.cell_depth)
+        if cfg.flow_theta and res.flow_theta is not None:
+            out.write_flow_latitudinal(dirs, res.flow_theta, res.flux_exit,
+                                       res.cell_depth)
         n_error += res.n_error
         report.stage3(cfg, atm, res)
 

@@ -132,6 +132,29 @@ def write_cell_luminosity(dirs: OutputDirs, lum):
     write_fits(dirs.path("cell_luminosity.fits"), [(None, np.asarray(lum).transpose(2, 1, 0))])
 
 
+def write_flow_global(dirs: OutputDirs, flow, cell_depth: int = 0):
+    """flow_global.fits: per-cell unit flow vectors (ARTES.f90:3715-3742).
+
+    ``flow``: (nr, ntheta, nphi, 3) summed energy*distance projections;
+    normalised per cell; NAXIS order (nphi, ntheta, nr, 3)."""
+    f = np.array(flow, np.float64)
+    f[:cell_depth] = 0.0
+    norm = np.linalg.norm(f, axis=-1, keepdims=True)
+    f = np.where(norm > 0, f / np.maximum(norm, 1e-300), 0.0)
+    write_fits(dirs.path("flow_global.fits"), [(None, f.transpose(2, 1, 0, 3))])
+
+
+def write_flow_latitudinal(dirs: OutputDirs, flow, flux_exit: float,
+                           cell_depth: int = 0):
+    """flow_latitudinal.fits: boundary-crossing tallies normalised to the
+    emergent flux (ARTES.f90:3744-3770)."""
+    f = np.array(flow, np.float64)
+    f[:cell_depth] = 0.0
+    if flux_exit > 0:
+        f = f / flux_exit
+    write_fits(dirs.path("flow_latitudinal.fits"), [(None, f.transpose(2, 1, 0, 3))])
+
+
 def write_plot_dat(dirs: OutputDirs, cfg: ArtesConfig, atm, det: DetectorSetup):
     """plot.dat handshake for plotting tools (ARTES.f90:1328-1348)."""
     with open(os.path.join(dirs.base, "plot.dat"), "w") as fh:

@@ -46,6 +46,8 @@ class WavelengthResult:
     n_alive_at_cap: int
     cell_depth: int
     prep: PreparedWavelength
+    flow_global: np.ndarray | None = None   # (nr, ntheta, nphi, 3)
+    flow_theta: np.ndarray | None = None    # (nr, ntheta, nphi, 4)
 
 
 def _kernel_static(cfg: ArtesConfig, det: DetectorSetup, atm, crescent: bool) -> KernelStatic:
@@ -60,6 +62,7 @@ def _kernel_static(cfg: ArtesConfig, det: DetectorSetup, atm, crescent: bool) ->
         thermal_weight=cfg.thermal_weight,
         max_scatter=256,
         max_crossings=geom,
+        track_flow=cfg.flow_global or cfg.flow_theta,
     )
 
 
@@ -79,6 +82,8 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
 
     npix = det.nx * det.ny
     detector = np.zeros((npix, 4, 3), np.float64)
+    flow_g = np.zeros((atm.nr * atm.ntheta * atm.nphi, 3), np.float64)
+    flow_t = np.zeros((atm.nr * atm.ntheta * atm.nphi, 4), np.float64)
     flux_emitted = 0.0
     flux_exit = 0.0
     n_error = 0
@@ -89,6 +94,9 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
         ids = jnp.arange(start, start + n, dtype=jnp.uint32)
         out = fn(prep.tables, static, ids, seed)
         detector += np.asarray(out["detector"], np.float64)
+        if static.track_flow:
+            flow_g += np.asarray(out["flow_global"], np.float64)
+            flow_t += np.asarray(out["flow_theta"], np.float64)
         flux_emitted += float(out["flux_emitted"])
         flux_exit += float(out["flux_exit"])
         n_error += int(out["n_error"])
@@ -102,12 +110,15 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
     scaled[..., 0] = det_img[..., 0] * e_pack      # (ARTES.f90:959-975)
     scaled[..., 1] = det_img[..., 1] * e_pack * e_pack
     scaled[..., 2] = det_img[..., 2]
+    shape3 = (atm.nr, atm.ntheta, atm.nphi)
     return WavelengthResult(
         detector=scaled,
         photometry=photometry_from_detector(scaled),
         flux_emitted=flux_emitted, flux_exit=flux_exit,
         n_error=n_error, n_alive_at_cap=n_alive,
         cell_depth=prep.cell_depth, prep=prep,
+        flow_global=flow_g.reshape(shape3 + (3,)) if static.track_flow else None,
+        flow_theta=flow_t.reshape(shape3 + (4,)) if static.track_flow else None,
     )
 
 

@@ -337,12 +337,47 @@ def _emit(t: TransportTables, static: KernelStatic, keys, counter, dtype):
 
 
 # ---------------------------------------------------------------------------
+# Flow diagnostics (ARTES.f90:4992-5047): per-cell energy-transport tallies
+# ---------------------------------------------------------------------------
+
+def _flow_global_update(flow, grid, pos, dirn, energy, dist, cell_flat, mask):
+    """Project direction onto local (r, theta, phi) unit vectors and book
+    energy*distance into the cell (``add_flow_global`` ARTES.f90:4992-5014)."""
+    x, y, z = pos[..., 0], pos[..., 1], pos[..., 2]
+    r = jnp.sqrt(x * x + y * y + z * z)
+    theta = jnp.arccos(jnp.clip(z / jnp.maximum(r, 1e-300), -1.0, 1.0))
+    phi = jnp.arctan2(y, x)
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    dx, dy, dz = dirn[..., 0], dirn[..., 1], dirn[..., 2]
+    r_dir = st * cp * dx + st * sp * dy + ct * dz
+    t_dir = ct * cp * dx + ct * sp * dy - st * dz
+    p_dir = -sp * dx + cp * dy
+    w = energy * dist * mask
+    idx = jnp.where(mask, cell_flat, flow.shape[0])
+    vals = jnp.stack([r_dir, t_dir, p_dir], axis=-1) * w[..., None]
+    return flow.at[idx].add(vals, mode="drop")
+
+
+def _flow_theta_update(flow, next_axis, outward, energy, cell_flat, mask):
+    """Boundary-crossing tallies: 0 up, 1 down, 2 south, 3 north
+    (``add_flow`` ARTES.f90:5016-5047, dispatch at :730-744)."""
+    is_r = next_axis == 1
+    is_t = next_axis == 2
+    col = jnp.where(is_r, jnp.where(outward, 0, 1), jnp.where(outward, 2, 3))
+    ok = mask & (is_r | is_t)
+    idx = jnp.where(ok, cell_flat, flow.shape[0])
+    return flow.at[idx, col].add(energy * ok, mode="drop")
+
+
+# ---------------------------------------------------------------------------
 # Transport march: walk to the next interaction point / exit / surface
 # (the do-loops at ARTES.f90:687-778 and :850-941)
 # ---------------------------------------------------------------------------
 
 def _march(t: TransportTables, static: KernelStatic, keys, counter,
-           pos, dirn, cell, face, stokes, tau, active, detector):
+           pos, dirn, cell, face, stokes, tau, active, detector,
+           flow_g=None, flow_t=None):
     grid = t.grid
 
     def cond(c):
@@ -352,12 +387,26 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         m = c["marching"]
         out = G.cell_face(grid, c["pos"], c["dirn"], c["cell"], c["face"], t.cell_depth)
         d = out["distance"]
-        k = t.opacity[flat_cell(grid, c["cell"])]
+        cfl = flat_cell(grid, c["cell"])
+        k = t.opacity[cfl]
         tau_cell = d * k
         interact = c["tau_run"] + tau_cell > c["tau"]
         s_int = (c["tau"] - c["tau_run"]) / jnp.where(k == 0.0, 1.0, k)
         step = jnp.where(interact, s_int, d)
         pos_new = c["pos"] + step[..., None] * c["dirn"]
+
+        if static.track_flow:
+            # flow booked with the post-advance position, pre-update cell
+            # (ARTES.f90:711-744)
+            fg = _flow_global_update(c["flow_g"], grid, pos_new, c["dirn"],
+                                     c["stokes"][..., 0], step, cfl, m)
+            outward = out["cell_out"][..., 0] > c["cell"][..., 0]
+            outward = jnp.where(out["next_face"][..., 0] == 2,
+                                out["cell_out"][..., 1] > c["cell"][..., 1], outward)
+            ft = _flow_theta_update(c["flow_t"], out["next_face"][..., 0], outward,
+                                    c["stokes"][..., 0], cfl, m & ~interact)
+        else:
+            fg, ft = c["flow_g"], c["flow_t"]
 
         hit_surface = ~interact & (out["next_face"][..., 0] == 1) & \
             (out["next_face"][..., 1] == t.cell_depth)
@@ -430,6 +479,8 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
             "error": err,
             "marching": still,
             "detector": detector_new,
+            "flow_g": fg,
+            "flow_t": ft,
             "counter": c["counter"] + 3,
             "it": c["it"] + 1,
         }
@@ -443,6 +494,8 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         "error": jnp.zeros(tau.shape, bool),
         "marching": active,
         "detector": detector,
+        "flow_g": flow_g if flow_g is not None else jnp.zeros((1, 3), pos.dtype),
+        "flow_t": flow_t if flow_t is not None else jnp.zeros((1, 4), pos.dtype),
         "counter": counter,
         "it": jnp.asarray(0, jnp.int32),
     }
@@ -539,9 +592,13 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
                     -jnp.log(1.0 - u_tau))
     stokes = jnp.where(forced[..., None], stokes * one_m_exp[..., None], stokes)
 
+    ncell_flow = t.opacity.shape[0] if static.track_flow else 1
+    flow_g = jnp.zeros((ncell_flow, 3), dtype)
+    flow_t = jnp.zeros((ncell_flow, 4), dtype)
     m_out, counter = _march(t, static, keys, counter, pos, dirn, cell, face,
-                            stokes, tau, active, detector)
+                            stokes, tau, active, detector, flow_g, flow_t)
     detector = m_out["detector"]
+    flow_g, flow_t = m_out["flow_g"], m_out["flow_t"]
     pos, dirn, cell, face, stokes = (m_out["pos"], m_out["dirn"], m_out["cell"],
                                      m_out["face"], m_out["stokes"])
     flux_exit = jnp.zeros((), dtype)
@@ -595,7 +652,8 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
             counter = counter + 1
             tau = -jnp.log(1.0 - u_t2)
             m_out, counter = _march(t, static, keys, counter, c["pos"], dirn,
-                                    c["cell"], c["face"], stokes, tau, alive, detector)
+                                    c["cell"], c["face"], stokes, tau, alive, detector,
+                                    c["flow_g"], c["flow_t"])
             flux_exit = c["flux_exit"]
             if static.photon_source == 2:
                 flux_exit = flux_exit + jnp.sum(
@@ -606,18 +664,21 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
                 "pos": m_out["pos"], "dirn": m_out["dirn"], "cell": m_out["cell"],
                 "face": m_out["face"], "stokes": m_out["stokes"],
                 "alive": alive, "detector": m_out["detector"],
+                "flow_g": m_out["flow_g"], "flow_t": m_out["flow_t"],
                 "flux_exit": flux_exit, "n_error": n_error,
                 "counter": counter, "round": c["round"] + 1,
             }
 
         carry = {
             "pos": pos, "dirn": dirn, "cell": cell, "face": face, "stokes": stokes,
-            "alive": alive, "detector": detector, "flux_exit": flux_exit,
+            "alive": alive, "detector": detector, "flow_g": flow_g, "flow_t": flow_t,
+            "flux_exit": flux_exit,
             "n_error": n_error, "counter": counter,
             "round": jnp.asarray(0, jnp.int32),
         }
         carry = jax.lax.while_loop(s_cond, s_body, carry)
         detector = carry["detector"]
+        flow_g, flow_t = carry["flow_g"], carry["flow_t"]
         flux_exit = carry["flux_exit"]
         n_error = carry["n_error"]
         n_alive_cap = jnp.sum(carry["alive"].astype(jnp.int32))
@@ -626,6 +687,8 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
 
     return {
         "detector": detector,
+        "flow_global": flow_g,
+        "flow_theta": flow_t,
         "flux_emitted": flux_emitted,
         "flux_exit": flux_exit,
         "n_error": n_error,
