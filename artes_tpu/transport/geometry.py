@@ -35,10 +35,36 @@ import numpy as np
 
 BIG = 1.0e30
 
+# Tables at or below this length are gathered through an exact one-hot
+# matmul: XLA's per-lane scalar gather on TPU costs ~1 ms per call at
+# 128k lanes, while a (B, T) one-hot contraction runs on the MXU in tens of
+# microseconds. A one-hot row has a single 1.0, so the contraction returns
+# the table entry bit-exactly in any dtype.
+ONEHOT_GATHER_LIMIT = 512
+
+
+def small_gather(table, idx):
+    """table[idx] for (B,) integer idx, via one-hot matmul for small tables."""
+    t = jnp.asarray(table)
+    if t.shape[0] > ONEHOT_GATHER_LIMIT:
+        return t[idx]
+    squeeze = False
+    if t.ndim == 1:
+        t = t[:, None]
+        squeeze = True
+    if t.dtype == jnp.bool_:
+        out = small_gather(t.astype(jnp.float32), idx) > 0.5
+        return out[..., 0] if squeeze else out
+    oh = jax.nn.one_hot(idx, t.shape[0], dtype=t.dtype)
+    out = jnp.einsum("bt,tk->bk", oh, t,
+                     preferred_element_type=t.dtype)
+    return out[..., 0] if squeeze else out
+
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["rfront", "theta_tan", "theta_cos", "thetaplane_cone",
-                      "theta_above", "phi_sin", "phi_cos"],
+                      "theta_above", "phi_sin", "phi_cos", "r_pair",
+                      "theta_combo", "phi_combo"],
          meta_fields=["nr", "ntheta", "nphi", "ob_ax", "ob_by", "ob_cz",
                       "pos_eps", "same_eps", "sel1", "sel2"])
 @dataclasses.dataclass
@@ -52,6 +78,10 @@ class GridGeometry:
     theta_above: jnp.ndarray     # (ntheta+1,) bool: theta < pi/2 (upper hemisphere cone)
     phi_sin: jnp.ndarray         # (nphi,)
     phi_cos: jnp.ndarray         # (nphi,)
+    # combined per-cell lookup rows (one one-hot gather each in cell_face):
+    r_pair: jnp.ndarray          # (nr, 2): rfront[i], rfront[i+1]
+    theta_combo: jnp.ndarray     # (ntheta, 6): tan/cone/above for faces i, i+1
+    phi_combo: jnp.ndarray       # (nphi, 4): sin/cos for faces i, (i+1) mod nphi
     # static metadata
     nr: int
     ntheta: int
@@ -74,14 +104,28 @@ def make_grid_geometry(atm, oblateness=0.0, dtype=jnp.float64) -> tuple[GridGeom
     r_scale = float(atm.rfront[-1])
     f64 = dtype == jnp.float64
     theta = np.asarray(atm.thetafront)
+    rf = np.asarray(atm.rfront) / r_scale
+    cone = (atm.thetaplane == 1).astype(float)
+    above = (theta < np.pi / 2.0).astype(float)
+    theta_combo = np.stack([
+        atm.theta_tan[:-1], cone[:-1], above[:-1],
+        atm.theta_tan[1:], cone[1:], above[1:],
+    ], axis=1)
+    nphi = atm.nphi
+    nxt = (np.arange(nphi) + 1) % nphi
+    phi_combo = np.stack([atm.phi_sin, atm.phi_cos,
+                          atm.phi_sin[nxt], atm.phi_cos[nxt]], axis=1)
     grid = GridGeometry(
-        rfront=jnp.asarray(atm.rfront / r_scale, dtype=dtype),
+        rfront=jnp.asarray(rf, dtype=dtype),
         theta_tan=jnp.asarray(atm.theta_tan, dtype=dtype),
         theta_cos=jnp.asarray(atm.theta_cos, dtype=dtype),
         thetaplane_cone=jnp.asarray(atm.thetaplane == 1),
         theta_above=jnp.asarray(theta < np.pi / 2.0),
         phi_sin=jnp.asarray(atm.phi_sin, dtype=dtype),
         phi_cos=jnp.asarray(atm.phi_cos, dtype=dtype),
+        r_pair=jnp.asarray(np.stack([rf[:-1], rf[1:]], axis=1), dtype=dtype),
+        theta_combo=jnp.asarray(theta_combo, dtype=dtype),
+        phi_combo=jnp.asarray(phi_combo, dtype=dtype),
         nr=atm.nr, ntheta=atm.ntheta, nphi=atm.nphi,
         # a = 1/oblate_x with oblate_x = 1/(1-oblateness) (ARTES.f90:469-471,:2838)
         ob_ax=1.0 - oblateness,
@@ -134,14 +178,14 @@ def _sphere_distance(g: GridGeometry, pos, dirn, r_face, eps):
     return _pick_root(*_quadratic(qa, qb, qc), eps)
 
 
-def _cone_distance(g: GridGeometry, pos, dirn, face_idx, eps):
-    """Distance to the theta cone/plane of face ``face_idx`` with nappe rejection."""
+def _cone_distance(g: GridGeometry, pos, dirn, tan_t, is_cone, above, eps):
+    """Distance to a theta cone/plane face with wrong-nappe rejection.
+
+    ``tan_t``/``is_cone``/``above`` are the pre-gathered per-lane face
+    properties (tan theta_f; cone vs z=0 plane; theta_f < pi/2)."""
     a, b, c = g.ob_ax, g.ob_by, g.ob_cz
     x, y, z = pos[..., 0], pos[..., 1], pos[..., 2]
     nx, ny, nz = dirn[..., 0], dirn[..., 1], dirn[..., 2]
-    tan_t = g.theta_tan[face_idx]
-    is_cone = g.thetaplane_cone[face_idx]
-    above = g.theta_above[face_idx]  # theta < pi/2
 
     t2 = tan_t * tan_t
     qa = a * a * nx * nx + b * b * ny * ny - c * c * nz * nz * t2
@@ -163,13 +207,12 @@ def _cone_distance(g: GridGeometry, pos, dirn, face_idx, eps):
     return is_cone, d_cone, s_plane
 
 
-def _phi_plane_distance(g: GridGeometry, pos, dirn, face_idx, eps):
-    """Distance to the phi half-plane of ``face_idx`` (ARTES.f90:3300-3318)."""
+def _phi_plane_distance(g: GridGeometry, pos, dirn, sin_p, cos_p, eps):
+    """Distance to a phi half-plane with pre-gathered face trig
+    (ARTES.f90:3300-3318)."""
     a, b = g.ob_ax, g.ob_by
     x, y = pos[..., 0], pos[..., 1]
     nx, ny = dirn[..., 0], dirn[..., 1]
-    sin_p = g.phi_sin[face_idx]
-    cos_p = g.phi_cos[face_idx]
     denom = b * ny * cos_p - a * nx * sin_p
     s = (a * x * sin_p - b * y * cos_p) / jnp.where(denom == 0.0, 1.0, denom)
     valid = (jnp.abs(denom) > 0.0) & (s > eps) & (s < BIG)
@@ -200,12 +243,13 @@ def cell_face(g: GridGeometry, pos, dirn, cell, cur_face, cell_depth):
     same_eps = jnp.asarray(g.same_eps, dt)
 
     # ---- radial candidates ----
+    rp = small_gather(g.r_pair, cr)  # (B, 2): rfront[cr], rfront[cr+1]
     # inner sphere rfront[cr]: skipped when the photon just crossed it
     # moving outward (ARTES.f90:2909-2931 computes only the outward face then)
     r_in_active = ~(cur_r & (cr == fidx))
     d_r_in = jnp.where(
         r_in_active,
-        _sphere_distance(g, pos, dirn, g.rfront[cr], pos_eps),
+        _sphere_distance(g, pos, dirn, rp[..., 0], pos_eps),
         0.0,
     )
     # outer sphere rfront[cr+1]; when the photon sits on it after crossing
@@ -213,30 +257,37 @@ def cell_face(g: GridGeometry, pos, dirn, cell, cur_face, cell_depth):
     # (ARTES.f90:2933-2954)
     r_same = cur_r & (cr == fidx - 1)
     d_r_out = _sphere_distance(
-        g, pos, dirn, g.rfront[cr + 1], jnp.where(r_same, same_eps, pos_eps)
+        g, pos, dirn, rp[..., 1], jnp.where(r_same, same_eps, pos_eps)
     )
 
     # ---- theta candidates (skipped entirely for 1-cell polar grids: the only
     # faces are the degenerate poles, never crossable) ----
     if g.ntheta > 1:
-        t_in_same = cur_t & (ct == fidx) & ~g.theta_above[jnp.clip(fidx, 0, g.ntheta)]
+        tc = small_gather(g.theta_combo, ct)  # (B, 6)
+        tan_in, cone_in, above_in = tc[..., 0], tc[..., 1] > 0.5, tc[..., 2] > 0.5
+        tan_out, cone_out, above_out = tc[..., 3], tc[..., 4] > 0.5, tc[..., 5] > 0.5
+        # the same-face tests only fire when fidx equals ct (inner) or ct+1
+        # (outer), so the pre-gathered face properties apply
+        t_in_same = cur_t & (ct == fidx) & ~above_in
         t_in_active = (ct > 0) & (
             ~cur_t | (cur_t & (ct == fidx - 1)) | t_in_same
         )
         is_cone_in, d_cone_in, s_plane_in = _cone_distance(
-            g, pos, dirn, ct, jnp.where(t_in_same, same_eps, pos_eps)
+            g, pos, dirn, tan_in, cone_in, above_in,
+            jnp.where(t_in_same, same_eps, pos_eps)
         )
         # plane branch: inner face is crossed moving up (ARTES.f90:3068)
         nz = dirn[..., 2]
         d_plane_in = jnp.where((s_plane_in > 0.0) & (nz > pos_eps), s_plane_in, 0.0)
         d_t_in = jnp.where(t_in_active, jnp.where(is_cone_in, d_cone_in, d_plane_in), 0.0)
 
-        t_out_same = cur_t & (ct == fidx - 1) & g.theta_above[jnp.clip(fidx, 0, g.ntheta)]
+        t_out_same = cur_t & (ct == fidx - 1) & above_out
         t_out_active = (ct + 1 < g.ntheta) & (
             ~cur_t | (cur_t & (ct == fidx)) | t_out_same
         )
         is_cone_out, d_cone_out, s_plane_out = _cone_distance(
-            g, pos, dirn, ct + 1, jnp.where(t_out_same, same_eps, pos_eps)
+            g, pos, dirn, tan_out, cone_out, above_out,
+            jnp.where(t_out_same, same_eps, pos_eps)
         )
         d_plane_out = jnp.where((s_plane_out > 0.0) & (nz < -pos_eps), s_plane_out, 0.0)
         d_t_out = jnp.where(t_out_active, jnp.where(is_cone_out, d_cone_out, d_plane_out), 0.0)
@@ -246,13 +297,18 @@ def cell_face(g: GridGeometry, pos, dirn, cell, cur_face, cell_depth):
 
     # ---- phi candidates ----
     if g.nphi > 1:
+        pc = small_gather(g.phi_combo, cp)  # (B, 4)
         p_outer_idx = jnp.where(cp + 1 == g.nphi, 0, cp + 1)
         p_inward = cur_p & ((cp == fidx - 1) | ((cp == g.nphi - 1) & (fidx == 0)))
         p_outward = cur_p & (cp == fidx) & ~p_inward
         p_in_active = ~cur_p | p_inward
         p_out_active = ~cur_p | p_outward
-        d_p_in = jnp.where(p_in_active, _phi_plane_distance(g, pos, dirn, cp, pos_eps), 0.0)
-        d_p_out = jnp.where(p_out_active, _phi_plane_distance(g, pos, dirn, p_outer_idx, pos_eps), 0.0)
+        d_p_in = jnp.where(
+            p_in_active,
+            _phi_plane_distance(g, pos, dirn, pc[..., 0], pc[..., 1], pos_eps), 0.0)
+        d_p_out = jnp.where(
+            p_out_active,
+            _phi_plane_distance(g, pos, dirn, pc[..., 2], pc[..., 3], pos_eps), 0.0)
     else:
         p_outer_idx = jnp.zeros_like(cp)
         d_p_in = jnp.zeros_like(d_r_in)

@@ -149,7 +149,7 @@ def _peel_walk(t: TransportTables, static: KernelStatic, pos, cell, face, active
     def body(c):
         out = G.cell_face(grid, c["pos"], t.det_dir, c["cell"], c["face"], t.cell_depth)
         d = out["distance"]
-        tau_cell = d * t.opacity[flat_cell(grid, c["cell"])]
+        tau_cell = d * G.small_gather(t.opacity, flat_cell(grid, c["cell"]))
         m = c["marching"]
         pos_new = c["pos"] + d[..., None] * t.det_dir
         hit_surface = (out["next_face"][..., 0] == 1) & (out["next_face"][..., 1] == t.cell_depth)
@@ -388,7 +388,7 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         out = G.cell_face(grid, c["pos"], c["dirn"], c["cell"], c["face"], t.cell_depth)
         d = out["distance"]
         cfl = flat_cell(grid, c["cell"])
-        k = t.opacity[cfl]
+        k = G.small_gather(t.opacity, cfl)
         tau_cell = d * k
         interact = c["tau_run"] + tau_cell > c["tau"]
         s_int = (c["tau"] - c["tau_run"]) / jnp.where(k == 0.0, 1.0, k)
@@ -517,7 +517,7 @@ def _first_tau_walk(t: TransportTables, static: KernelStatic, pos, dirn, cell, f
     def body(c):
         out = G.cell_face(grid, c["pos"], dirn, c["cell"], c["face"], t.cell_depth)
         d = out["distance"]
-        tau_cell = d * t.opacity[flat_cell(grid, c["cell"])]
+        tau_cell = d * G.small_gather(t.opacity, flat_cell(grid, c["cell"]))
         m = c["marching"]
         hit_surface = (out["next_face"][..., 0] == 1) & (out["next_face"][..., 1] == t.cell_depth)
         stop = out["grid_exit"] | out["error"] | hit_surface
@@ -571,7 +571,7 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
     flux_emitted = jnp.zeros((), dtype)
     if static.photon_source == 2:
         # thermal birth: weight + birth peel (ARTES.f90:599-621)
-        w = bias_weight / t.cell_weight[flat_cell(t.grid, cell)]
+        w = bias_weight / G.small_gather(t.cell_weight, flat_cell(t.grid, cell))
         stokes = stokes.at[:, 0].multiply(w)
         flux_emitted = jnp.sum(stokes[:, 0])
         detector, birth_err = _peel_thermal(t, static, detector, pos, cell, face, stokes, active)
@@ -622,7 +622,7 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
             killed = alive & (u_r < t.fstop)
             alive = alive & ~killed
             cf = flat_cell(t.grid, c["cell"])
-            alb = t.albedo[cf]
+            alb = G.small_gather(t.albedo, cf)
             gamma = jnp.where((alb < 1.0) & (alb > 0.0), alb / (1.0 - t.fstop), 1.0)
             stokes = jnp.where(alive[..., None], stokes * gamma[..., None], stokes)
             # minimum-energy removal (:810-813)
@@ -638,8 +638,9 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
             u2 = R.uniform(keys, counter + 1, dtype)
             u3 = R.uniform(keys, counter + 2, dtype)
             counter = counter + 3
-            beta = S.sample_beta(t.p_int[cf], stokes, u1, u2)
-            alpha = S.sample_alpha(t.alpha_prefix[cf], stokes, beta, u3)
+            beta = S.sample_beta(G.small_gather(t.p_int, cf), stokes, u1, u2)
+            alpha = S.sample_alpha(S.gather_alpha_prefix(t.alpha_prefix, cf),
+                                   stokes, beta, u3)
             dir_new = M.direction_cosine(alpha, beta, c["dirn"])
             scatter = S.matrix_at_angle(t.scatter_rows, cf, jnp.arccos(alpha))
             stokes_new = M.polarization_rotation(alpha, beta, stokes, scatter,

@@ -45,24 +45,23 @@ def build_alpha_prefix(scatter_cell):
     return np.concatenate([zeros, prefix], axis=-2).swapaxes(-1, -2)  # (...,4,181)
 
 
-def _invert_cdf(cum_at, target, n=N_ANGLE):
-    """Find bin k (1-based) with cum(k-1) <= target <= cum(k) by binary search.
+def _invert_materialized(cum, target):
+    """Invert a batched monotone CDF given at all 181 edges.
 
-    ``cum_at(j)`` evaluates the batched CDF at integer edge j in [0, n].
+    ``cum``: (B, 181) with cum[:, 0] = 0. Finds the first k in [1, 180] with
+    cum(k) >= target (the reference's linear scan, ARTES.f90:1565-1587) using
+    a vectorized count + two masked reductions — no gathers, so it maps to
+    pure VPU work on TPU.
     Returns (k, cum_lo, cum_hi).
     """
-    lo = jnp.zeros_like(target, dtype=jnp.int32)
-    hi = jnp.full_like(lo, n)
-
-    def body(_, state):
-        lo, hi = state
-        mid = (lo + hi) // 2
-        below = cum_at(mid) < target
-        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
-
-    # 2^8 = 256 > 180 edges
-    lo, hi = jax.lax.fori_loop(0, 8, body, (lo, hi))
-    return hi, cum_at(lo), cum_at(hi)
+    below = (cum[..., 1:-1] < target[..., None])
+    k = 1 + jnp.sum(below, axis=-1).astype(jnp.int32)
+    edges = jax.lax.broadcasted_iota(jnp.int32, cum.shape, len(cum.shape) - 1)
+    sel_lo = edges == (k - 1)[..., None]
+    sel_hi = edges == k[..., None]
+    cum_lo = jnp.sum(jnp.where(sel_lo, cum, 0.0), axis=-1)
+    cum_hi = jnp.sum(jnp.where(sel_hi, cum, 0.0), axis=-1)
+    return k, cum_lo, cum_hi
 
 
 def sample_beta(p_int, stokes, u1, u2):
@@ -81,13 +80,11 @@ def sample_beta(p_int, stokes, u1, u2):
     c = p12 * u - p13 * q
     c2b = jnp.asarray(C2B_PREFIX, dt)
     s2b = jnp.asarray(S2B_PREFIX, dt)
+    j = jnp.arange(N_ANGLE + 1, dtype=dt)
+    cum = a[..., None] * j + b[..., None] * c2b + c[..., None] * s2b  # (B, 181)
 
-    def cum_at(j):
-        return a * j + b * c2b[j] + c * s2b[j]
-
-    total = cum_at(jnp.full_like(u1, N_ANGLE, dtype=jnp.int32))
-    target = u1 * total
-    k, cum_lo, cum_hi = _invert_cdf(cum_at, target)
+    target = u1 * cum[..., -1]
+    k, cum_lo, cum_hi = _invert_materialized(cum, target)
     dcum = cum_hi - cum_lo
     frac = (target - cum_lo) / jnp.where(dcum == 0.0, 1.0, dcum)
     beta_deg = (k - 1).astype(dt) + jnp.where(dcum == 0.0, 0.5, frac)
@@ -100,29 +97,40 @@ def sample_beta(p_int, stokes, u1, u2):
     return beta
 
 
+def gather_alpha_prefix(alpha_prefix_all, cell_flat, onehot_limit=256):
+    """Per-lane (4, 181) prefix rows from the (ncell, 4, 181) table.
+
+    Small grids go through an exact one-hot MXU contraction (per-lane scalar
+    gathers cost ~1 ms per op at 128k lanes on TPU); large grids fall back to
+    a row gather.
+    """
+    ncell = alpha_prefix_all.shape[0]
+    if ncell <= onehot_limit:
+        oh = jax.nn.one_hot(cell_flat, ncell, dtype=alpha_prefix_all.dtype)
+        flat = alpha_prefix_all.reshape(ncell, -1)
+        rows = jnp.einsum("bc,ck->bk", oh, flat,
+                          preferred_element_type=alpha_prefix_all.dtype)
+        return rows.reshape(cell_flat.shape + (4, N_ANGLE + 1))
+    return alpha_prefix_all[cell_flat]
+
+
 def sample_alpha(alpha_prefix, stokes, beta, u3):
     """Scattering-angle cosine from the conditional CDF (ARTES.f90:1597-1659).
 
-    ``alpha_prefix``: (B, 4, 181) gathered per-cell prefix tables.
-    Returns alpha = cos(scattering angle), clipped to (-1, 1).
+    ``alpha_prefix``: (B, 4, 181) per-lane prefix tables (see
+    :func:`gather_alpha_prefix`). Returns alpha = cos(scattering angle),
+    clipped to (-1, 1).
     """
     dt = stokes.dtype
     i, q, u, v = stokes[..., 0], stokes[..., 1], stokes[..., 2], stokes[..., 3]
     c2b = jnp.cos(2.0 * beta)
     s2b = jnp.sin(2.0 * beta)
     # coefficient of each matrix row element (:1612-1617)
-    w1 = i
-    w2 = c2b * q + s2b * u
-    w3 = -s2b * q + c2b * u
-    w4 = v
+    w = jnp.stack([i, c2b * q + s2b * u, -s2b * q + c2b * u, v], axis=-1)
+    cum = jnp.einsum("...k,...kj->...j", w, alpha_prefix)  # (B, 181)
 
-    def cum_at(j):
-        cols = jnp.take_along_axis(alpha_prefix, j[..., None, None], axis=-1)[..., 0]
-        return w1 * cols[..., 0] + w2 * cols[..., 1] + w3 * cols[..., 2] + w4 * cols[..., 3]
-
-    total = cum_at(jnp.full(stokes.shape[:-1], N_ANGLE, dtype=jnp.int32))
-    target = u3 * total
-    k, cum_lo, cum_hi = _invert_cdf(cum_at, target)
+    target = u3 * cum[..., -1]
+    k, cum_lo, cum_hi = _invert_materialized(cum, target)
     dcum = cum_hi - cum_lo
     frac = (target - cum_lo) / jnp.where(dcum == 0.0, 1.0, dcum)
     alpha_deg = (k - 1).astype(dt) + jnp.where(dcum == 0.0, 0.5, frac)
