@@ -16,7 +16,7 @@ import numpy as np
 
 from artes_tpu.config import ArtesConfig, DetectorSetup, detector_setup
 from artes_tpu.constants import PI, planck_lambda
-from artes_tpu.transport.kernel import KernelStatic, run_batch
+from artes_tpu.transport.kernel import KernelStatic, run_batch, run_batch_compacted
 from artes_tpu.transport.tables import PreparedWavelength, build_tables
 
 PHASE_ANGLES_DEG = [1.0e-5] + [2.5 * i for i in range(1, 72)] + [180.0 - 1.0e-5]  # (:215-229)
@@ -78,6 +78,10 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
     """
     prep = build_tables(atm, cfg, det, wl_index, dtype=dtype)
     static = _kernel_static(cfg, det, atm, crescent)
+    # default: the monolithic jitted kernel. run_batch_compacted (live-lane
+    # compaction between round chunks) is available as a dispatch for hosts
+    # with locally-attached accelerators; through this machine's tunneled
+    # TPU its extra compiles/syncs outweigh the saved tail work.
     fn = dispatch or run_batch
 
     npix = det.nx * det.ny

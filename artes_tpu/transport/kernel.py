@@ -548,15 +548,13 @@ def _first_tau_walk(t: TransportTables, static: KernelStatic, pos, dirn, cell, f
 # The full batch kernel
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(1,))
-def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
-    """Transport one batch of photons; returns detector sums + energy tallies.
+def _start_impl(t: TransportTables, static: KernelStatic, photon_ids, seed):
+    """Emission + birth peel + forced first interaction + first march.
 
-    ``photon_ids``: (B,) global photon indices (determinism + device sharding).
-    Returns dict: detector (nx*ny, 4, 3), flux_emitted, flux_exit, n_error,
-    n_alive_at_cap.
+    Returns (state, out): ``state`` is the resumable per-photon state consumed
+    by :func:`_scatter_rounds_impl`; ``out`` holds the tallies accumulated so
+    far.
     """
-    t = tables
     dtype = t.opacity.dtype
     n = photon_ids.shape[0]
     keys = R.photon_keys(seed, photon_ids)
@@ -604,13 +602,37 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
     flux_exit = jnp.zeros((), dtype)
     if static.photon_source == 2:
         flux_exit = flux_exit + jnp.sum(jnp.where(m_out["exited"] & active, stokes[:, 0], 0.0))
-    n_error = jnp.sum((m_out["error"] & active).astype(jnp.int32))
+    n_error = jnp.sum(m_out["error"] & active, dtype=jnp.int32)
     alive = active & m_out["interacted"] & ~m_out["error"]
 
+
+    state = {
+        "pos": pos, "dirn": dirn, "cell": cell, "face": face, "stokes": stokes,
+        "alive": alive, "counter": counter, "photon_ids": photon_ids,
+    }
+    out = {
+        "detector": detector, "flow_global": flow_g, "flow_theta": flow_t,
+        "flux_emitted": flux_emitted, "flux_exit": flux_exit,
+        "n_error": n_error,
+    }
+    return state, out
+
+
+def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
+                         rounds: int, detector, flow_g, flow_t):
+    """Run up to ``rounds`` scatter rounds from ``state`` (resumable)."""
+    dtype = t.opacity.dtype
+    keys = R.photon_keys(seed, state["photon_ids"])
+    flux_exit = jnp.zeros((), dtype)
+    n_error = jnp.zeros((), jnp.int32)
+    pos, dirn, cell, face, stokes, alive, counter = (
+        state["pos"], state["dirn"], state["cell"], state["face"],
+        state["stokes"], state["alive"], state["counter"])
+
     # ---- scatter loop (ARTES.f90:786-951) ----
-    if static.photon_scattering:
+    if static.photon_scattering and rounds > 0:
         def s_cond(c):
-            return jnp.any(c["alive"]) & (c["round"] < static.max_scatter)
+            return jnp.any(c["alive"]) & (c["round"] < rounds)
 
         def s_body(c):
             alive = c["alive"]
@@ -659,7 +681,7 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
             if static.photon_source == 2:
                 flux_exit = flux_exit + jnp.sum(
                     jnp.where(m_out["exited"] & alive, m_out["stokes"][:, 0], 0.0))
-            n_error = c["n_error"] + jnp.sum((m_out["error"] & alive).astype(jnp.int32))
+            n_error = c["n_error"] + jnp.sum(m_out["error"] & alive, dtype=jnp.int32)
             alive = alive & m_out["interacted"] & ~m_out["error"]
             return {
                 "pos": m_out["pos"], "dirn": m_out["dirn"], "cell": m_out["cell"],
@@ -682,16 +704,110 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
         flow_g, flow_t = carry["flow_g"], carry["flow_t"]
         flux_exit = carry["flux_exit"]
         n_error = carry["n_error"]
-        n_alive_cap = jnp.sum(carry["alive"].astype(jnp.int32))
-    else:
-        n_alive_cap = jnp.sum(alive.astype(jnp.int32))
+        pos, dirn, cell, face, stokes, alive, counter = (
+            carry["pos"], carry["dirn"], carry["cell"], carry["face"],
+            carry["stokes"], carry["alive"], carry["counter"])
 
-    return {
+    state_out = {
+        "pos": pos, "dirn": dirn, "cell": cell, "face": face, "stokes": stokes,
+        "alive": alive, "counter": counter, "photon_ids": state["photon_ids"],
+    }
+    out = {
         "detector": detector,
         "flow_global": flow_g,
         "flow_theta": flow_t,
-        "flux_emitted": flux_emitted,
         "flux_exit": flux_exit,
         "n_error": n_error,
+        "n_alive_at_cap": jnp.sum(alive, dtype=jnp.int32),
+    }
+    return state_out, out
+
+
+@partial(jax.jit, static_argnums=(1,))
+def start_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
+    """Jitted emission + first-interaction phase (resumable-state API)."""
+    return _start_impl(tables, static, photon_ids, seed)
+
+
+@partial(jax.jit, static_argnums=(1, 4))
+def scatter_phase(tables: TransportTables, static: KernelStatic, state, seed,
+                  rounds: int):
+    """Jitted scatter-rounds phase; accumulators start at zero."""
+    t = tables
+    dtype = t.opacity.dtype
+    detector = jnp.zeros((static.nx * static.ny, 4, 3), dtype)
+    ncell_flow = t.opacity.shape[0] if static.track_flow else 1
+    flow_g = jnp.zeros((ncell_flow, 3), dtype)
+    flow_t = jnp.zeros((ncell_flow, 4), dtype)
+    return _scatter_rounds_impl(t, static, state, seed, rounds, detector,
+                                flow_g, flow_t)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
+    """Transport one batch of photons; returns detector sums + energy tallies.
+
+    ``photon_ids``: (B,) global photon indices (determinism + device sharding).
+    Returns dict: detector (nx*ny, 4, 3), flux_emitted, flux_exit, n_error,
+    n_alive_at_cap.
+    """
+    state, out0 = _start_impl(tables, static, photon_ids, seed)
+    _, out1 = _scatter_rounds_impl(
+        tables, static, state, seed, static.max_scatter,
+        out0["detector"], out0["flow_global"], out0["flow_theta"])
+    return {
+        "detector": out1["detector"],
+        "flow_global": out1["flow_global"],
+        "flow_theta": out1["flow_theta"],
+        "flux_emitted": out0["flux_emitted"],
+        "flux_exit": out0["flux_exit"] + out1["flux_exit"],
+        "n_error": out0["n_error"] + out1["n_error"],
+        "n_alive_at_cap": out1["n_alive_at_cap"],
+    }
+
+
+def run_batch_compacted(tables: TransportTables, static: KernelStatic,
+                        photon_ids, seed, chunk_rounds: int = 32,
+                        min_batch: int = 4096):
+    """Host-driven transport with live-lane compaction between round chunks.
+
+    The ``while any(alive)`` tail means a handful of deep-diffusing photons
+    keep the full batch width busy (the reference has the same tail, hidden
+    by per-photon OpenMP scheduling, ARTES.f90:534-546). Here: run
+    ``chunk_rounds`` scatter rounds, then gather the surviving lanes into the
+    next power-of-two batch and resume. Power-of-two buckets bound the number
+    of distinct compiled shapes; the counter-based RNG makes the per-photon
+    streams identical to the uncompacted kernel.
+    """
+    state, acc = start_batch(tables, static, photon_ids, seed)
+    acc = dict(acc)
+    n_alive_cap = 0
+    rounds_done = 0
+    while static.photon_scattering and rounds_done < static.max_scatter:
+        n_alive = int(jnp.sum(state["alive"]))
+        if n_alive == 0:
+            break
+        batch = state["alive"].shape[0]
+        target = 1 << max(int(np.ceil(np.log2(max(n_alive, 1)))), 0)
+        target = max(target, min_batch)
+        if target < batch:
+            idx = jnp.nonzero(state["alive"], size=target, fill_value=0)[0]
+            pad_dead = jnp.arange(target) >= n_alive
+            # gather per-lane fields; the draw counter is a shared scalar
+            state = {k: (v if k == "counter" else v[idx]) for k, v in state.items()}
+            state["alive"] = state["alive"] & ~pad_dead
+        rounds = min(chunk_rounds, static.max_scatter - rounds_done)
+        state, out = scatter_phase(tables, static, state, seed, rounds)
+        for key in ("detector", "flow_global", "flow_theta", "flux_exit", "n_error"):
+            acc[key] = acc[key] + out[key]
+        n_alive_cap = int(out["n_alive_at_cap"])
+        rounds_done += rounds
+    return {
+        "detector": acc["detector"],
+        "flow_global": acc["flow_global"],
+        "flow_theta": acc["flow_theta"],
+        "flux_emitted": acc["flux_emitted"],
+        "flux_exit": acc["flux_exit"],
+        "n_error": acc["n_error"],
         "n_alive_at_cap": n_alive_cap,
     }
