@@ -92,9 +92,9 @@ def run_main(argv=None):
     n_error = 0
 
     if cfg.mode == "spectrum":
-        for wl in range(atm.n_wavelength):
-            res = runner.run_wavelength(atm, cfg, det, wl, packages,
-                                        seed=args.seed + wl, **{k: v for k, v in kw.items() if k != "seed"})
+        # all wavelengths vmapped into one kernel when on a single device
+        det, results = runner.run_spectrum(atm, cfg, packages, **kw)
+        for wl, res in enumerate(results):
             if wl == 0:
                 report.stage2(cfg, atm, det, packages, 0, res.cell_depth)
             wl_m = atm.wavelengths[wl]
@@ -106,8 +106,7 @@ def run_main(argv=None):
             else:
                 out.write_luminosity(dirs, wl_m, res, packages)
             n_error += res.n_error
-            print(f"\rWavelength: {wl_m * 1e6:7.3f} micron", end="", file=sys.stderr)
-        print(file=sys.stderr)
+            print(f"Wavelength: {wl_m * 1e6:7.3f} micron", file=sys.stderr)
         report.stage3(cfg, atm, res, atm.n_wavelength - 1)
 
     elif cfg.mode == "imaging_mono":

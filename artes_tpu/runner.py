@@ -179,13 +179,73 @@ def detector_errors(detector: np.ndarray) -> np.ndarray:
 # Modes (ARTES.f90:121-267)
 # ---------------------------------------------------------------------------
 
-def run_spectrum(atm, cfg, packages, seed=0, **kw):
-    """Per-wavelength Stokes spectrum (single-pixel detector)."""
+def run_spectrum(atm, cfg, packages, seed=0, wavelength_batch=True, **kw):
+    """Per-wavelength Stokes spectrum (single-pixel detector).
+
+    With ``wavelength_batch`` (default) all wavelengths are vmapped into one
+    kernel launch: the wavelength grid is an embarrassingly parallel axis
+    (the reference runs it serially, ARTES.f90:132-166), and stacking it
+    amortises the sequential while-loop latency of the transport kernel
+    across n_wavelength times more photons in flight.
+    """
     det = detector_setup(cfg, float(atm.rfront[-1]))
+    if wavelength_batch and atm.n_wavelength > 1 and kw.get("dispatch") is None:
+        return det, _run_wavelengths_vmapped(atm, cfg, det, packages, seed, **kw)
     results = []
     for wl in range(atm.n_wavelength):
         results.append(run_wavelength(atm, cfg, det, wl, packages, seed=seed + wl, **kw))
     return det, results
+
+
+def _run_wavelengths_vmapped(atm, cfg, det, packages, seed,
+                             batch_size=1 << 17, dtype=jnp.float64,
+                             dispatch=None):
+    import jax
+
+    preps = [build_tables(atm, cfg, det, wl, dtype=dtype)
+             for wl in range(atm.n_wavelength)]
+    static = _kernel_static(cfg, det, atm, False)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[p.tables for p in preps])
+    seeds = jnp.asarray([seed + wl for wl in range(atm.n_wavelength)], jnp.uint32)
+    vm = jax.jit(jax.vmap(lambda tab, s, ids: run_batch(tab, static, ids, s),
+                          in_axes=(0, 0, None)), static_argnums=())
+
+    npix = det.nx * det.ny
+    nl = atm.n_wavelength
+    detector = np.zeros((nl, npix, 4, 3), np.float64)
+    flux_emitted = np.zeros(nl)
+    flux_exit = np.zeros(nl)
+    n_error = np.zeros(nl, np.int64)
+    n_alive = np.zeros(nl, np.int64)
+    start = 0
+    # keep the total lanes in flight comparable to the single-lambda case
+    per_launch = max(batch_size // max(nl, 1), 1024)
+    while start < packages:
+        n = min(per_launch, packages - start)
+        ids = jnp.arange(start, start + n, dtype=jnp.uint32)
+        out = vm(stacked, seeds, ids)
+        detector += np.asarray(out["detector"], np.float64)
+        flux_emitted += np.asarray(out["flux_emitted"], np.float64)
+        flux_exit += np.asarray(out["flux_exit"], np.float64)
+        n_error += np.asarray(out["n_error"], np.int64)
+        n_alive += np.asarray(out["n_alive_at_cap"], np.int64)
+        start += n
+
+    results = []
+    for wl in range(nl):
+        e_pack = package_energy(cfg, atm, wl, packages, preps[wl].emissivity_total)
+        img = detector[wl].reshape(det.nx, det.ny, 4, 3)
+        scaled = np.empty_like(img)
+        scaled[..., 0] = img[..., 0] * e_pack
+        scaled[..., 1] = img[..., 1] * e_pack * e_pack
+        scaled[..., 2] = img[..., 2]
+        results.append(WavelengthResult(
+            detector=scaled, photometry=photometry_from_detector(scaled),
+            flux_emitted=float(flux_emitted[wl]), flux_exit=float(flux_exit[wl]),
+            n_error=int(n_error[wl]), n_alive_at_cap=int(n_alive[wl]),
+            cell_depth=preps[wl].cell_depth, prep=preps[wl],
+        ))
+    return results
 
 
 def run_imaging_mono(atm, cfg, packages, seed=0, wl_index=0, **kw):
