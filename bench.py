@@ -4,64 +4,113 @@ Runs BASELINE config #1 (homogeneous Rayleigh layer, reflected-light Stokes
 spectrum) on the available accelerator and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "photons/s", "vs_baseline": N}
 
-``vs_baseline`` is measured against the BASELINE.json north star of 1e8
-photon packets/s per chip.
+``vs_baseline`` measures against the BASELINE.json north star of 1e8 photon
+packets/s per chip.
+
+The tunneled TPU on this machine can wedge (device errors leave the runtime
+hung); the measurement therefore runs in a watchdogged subprocess with
+geometrically smaller batches on retry and a CPU fallback, so the driver
+always gets a JSON line.
 """
 
 import json
+import os
+import subprocess
 import sys
-import time
 
+NORTH_STAR = 1.0e8  # photons/s/chip (BASELINE.md)
+
+_WORKER = r"""
+import json, sys, time
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-NORTH_STAR = 1.0e8  # photons/s/chip (BASELINE.md)
+platform = sys.argv[1]
+batch = int(sys.argv[2])
+if platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+from artes_tpu import presets
+from artes_tpu.config import ArtesConfig, detector_setup
+from artes_tpu.runner import _kernel_static
+from artes_tpu.transport.kernel import run_batch
+from artes_tpu.transport.tables import build_tables
+
+dtype = jnp.float32
+atm = presets.rayleigh_single_layer(tau=5.0)
+cfg = ArtesConfig()
+cfg.mode = "spectrum"
+det = detector_setup(cfg, float(atm.rfront[-1]))
+static = _kernel_static(cfg, det, atm, False)
+prep = build_tables(atm, cfg, det, 0, dtype=dtype)
+ids = jnp.arange(batch, dtype=jnp.uint32)
+
+out = run_batch(prep.tables, static, ids, 0)
+jax.block_until_ready(out)
+
+n_rep = 5
+t0 = time.perf_counter()
+for i in range(n_rep):
+    out = run_batch(prep.tables, static, ids + jnp.uint32(i * batch), jnp.uint32(i))
+jax.block_until_ready(out)
+dt = time.perf_counter() - t0
+
+print(json.dumps({
+    "throughput": n_rep * batch / dt,
+    "detector_I_raw": float(np.asarray(out["detector"], np.float64)[:, 0, 0].sum()),
+    "device": str(jax.devices()[0]),
+    "n_error": int(out["n_error"]),
+}))
+"""
+
+
+def _attempt(platform, batch, timeout_s):
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _WORKER, platform, str(batch)],
+            capture_output=True, timeout=timeout_s, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return None
 
 
 def main():
-    from artes_tpu import presets
-    from artes_tpu.config import ArtesConfig, detector_setup
-    from artes_tpu.runner import _kernel_static
-    from artes_tpu.transport.kernel import run_batch
-    from artes_tpu.transport.tables import build_tables
-
-    dtype = jnp.float32
-    atm = presets.rayleigh_single_layer(tau=5.0)
-    cfg = ArtesConfig()
-    cfg.mode = "spectrum"
-    det = detector_setup(cfg, float(atm.rfront[-1]))
-    static = _kernel_static(cfg, det, atm, False)
-    prep = build_tables(atm, cfg, det, 0, dtype=dtype)
-
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 19
-    ids = jnp.arange(batch, dtype=jnp.uint32)
-
-    # compile + warmup
-    out = run_batch(prep.tables, static, ids, 0)
-    jax.block_until_ready(out)
-
-    # timed: several batches with distinct photon ids
-    n_rep = 5
-    t0 = time.perf_counter()
-    for i in range(n_rep):
-        out = run_batch(prep.tables, static, ids + jnp.uint32(i * batch), jnp.uint32(i))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    throughput = n_rep * batch / dt
-    det_i = float(np.asarray(out["detector"], np.float64)[:, 0, 0].sum())
-    result = {
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 17
+    plans = [("tpu", batch, 900), ("tpu", batch // 4, 600), ("cpu", 16384, 900)]
+    result = None
+    used = None
+    for platform, b, timeout_s in plans:
+        result = _attempt(platform, b, timeout_s)
+        if result is not None:
+            used = (platform, b)
+            break
+    if result is None:
+        print(json.dumps({
+            "metric": "photon packets/s/chip (Rayleigh tau=5 reflected-light)",
+            "value": 0.0, "unit": "photons/s", "vs_baseline": 0.0,
+            "error": "all benchmark attempts timed out (device unavailable)",
+        }))
+        return
+    throughput = result["throughput"]
+    print(json.dumps({
         "metric": "photon packets/s/chip (Rayleigh tau=5 reflected-light, full Stokes peel)",
         "value": throughput,
         "unit": "photons/s",
         "vs_baseline": throughput / NORTH_STAR,
-        "batch": batch,
-        "detector_I_raw": det_i,
-        "device": str(jax.devices()[0]),
-        "n_error": int(out["n_error"]),
-    }
-    print(json.dumps(result))
+        "batch": used[1],
+        "platform": used[0],
+        "detector_I_raw": result["detector_I_raw"],
+        "device": result["device"],
+        "n_error": result["n_error"],
+    }))
 
 
 if __name__ == "__main__":
