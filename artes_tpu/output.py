@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 from artes_tpu.config import ArtesConfig, DetectorSetup
-from artes_tpu.constants import PI, SIGMA_SB, C_LIGHT, planck_lambda
+from artes_tpu.constants import PI, SIGMA_SB, planck_lambda
 from artes_tpu.io.fitsio import write_fits
 from artes_tpu.runner import WavelengthResult, detector_errors
 
