@@ -50,6 +50,9 @@ def run_main(argv=None):
     p.add_argument("--f64", action="store_true", help="run transport in float64")
     p.add_argument("--mesh", action="store_true",
                    help="shard photons over all local devices")
+    p.add_argument("--resume", action="store_true",
+                   help="skip wavelengths already present in spectrum.dat "
+                        "(per-wavelength outputs are idempotent)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -92,9 +95,22 @@ def run_main(argv=None):
     n_error = 0
 
     if cfg.mode == "spectrum":
+        done = set()
+        if args.resume and os.path.isfile(dirs.path("spectrum.dat")):
+            # per-wavelength rows are idempotent: completed wavelengths are
+            # kept across restarts (SURVEY.md section 5 resume strategy)
+            for line in open(dirs.path("spectrum.dat")):
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    done.add(round(float(line.split()[0]), 9))
+        todo = [wl for wl in range(atm.n_wavelength)
+                if round(atm.wavelengths[wl] * 1e6, 9) not in done]
+        if args.resume and len(todo) < atm.n_wavelength:
+            print(f"resume: skipping {atm.n_wavelength - len(todo)} completed "
+                  f"wavelengths", file=sys.stderr)
         # all wavelengths vmapped into one kernel when on a single device
-        det, results = runner.run_spectrum(atm, cfg, packages, **kw)
-        for wl, res in enumerate(results):
+        det, results = runner.run_spectrum(atm, cfg, packages, wl_subset=todo, **kw)
+        for wl, res in zip(todo, results):
             if wl == 0:
                 report.stage2(cfg, atm, det, packages, 0, res.cell_depth)
             wl_m = atm.wavelengths[wl]

@@ -179,7 +179,8 @@ def detector_errors(detector: np.ndarray) -> np.ndarray:
 # Modes (ARTES.f90:121-267)
 # ---------------------------------------------------------------------------
 
-def run_spectrum(atm, cfg, packages, seed=0, wavelength_batch=True, **kw):
+def run_spectrum(atm, cfg, packages, seed=0, wavelength_batch=True,
+                 wl_subset=None, **kw):
     """Per-wavelength Stokes spectrum (single-pixel detector).
 
     With ``wavelength_batch`` (default) all wavelengths are vmapped into one
@@ -189,29 +190,31 @@ def run_spectrum(atm, cfg, packages, seed=0, wavelength_batch=True, **kw):
     across n_wavelength times more photons in flight.
     """
     det = detector_setup(cfg, float(atm.rfront[-1]))
-    if wavelength_batch and atm.n_wavelength > 1 and kw.get("dispatch") is None:
-        return det, _run_wavelengths_vmapped(atm, cfg, det, packages, seed, **kw)
+    wls = list(range(atm.n_wavelength)) if wl_subset is None else list(wl_subset)
+    if wavelength_batch and len(wls) > 1 and kw.get("dispatch") is None:
+        return det, _run_wavelengths_vmapped(atm, cfg, det, packages, seed,
+                                             wls=wls, **kw)
     results = []
-    for wl in range(atm.n_wavelength):
+    for wl in wls:
         results.append(run_wavelength(atm, cfg, det, wl, packages, seed=seed + wl, **kw))
     return det, results
 
 
-def _run_wavelengths_vmapped(atm, cfg, det, packages, seed,
+def _run_wavelengths_vmapped(atm, cfg, det, packages, seed, wls=None,
                              batch_size=1 << 17, dtype=jnp.float64,
                              dispatch=None):
     import jax
 
-    preps = [build_tables(atm, cfg, det, wl, dtype=dtype)
-             for wl in range(atm.n_wavelength)]
+    wls = list(range(atm.n_wavelength)) if wls is None else wls
+    preps = [build_tables(atm, cfg, det, wl, dtype=dtype) for wl in wls]
     static = _kernel_static(cfg, det, atm, False)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[p.tables for p in preps])
-    seeds = jnp.asarray([seed + wl for wl in range(atm.n_wavelength)], jnp.uint32)
+    seeds = jnp.asarray([seed + wl for wl in wls], jnp.uint32)
     vm = jax.jit(jax.vmap(lambda tab, s, ids: run_batch(tab, static, ids, s),
                           in_axes=(0, 0, None)), static_argnums=())
 
     npix = det.nx * det.ny
-    nl = atm.n_wavelength
+    nl = len(wls)
     detector = np.zeros((nl, npix, 4, 3), np.float64)
     flux_emitted = np.zeros(nl)
     flux_exit = np.zeros(nl)
@@ -232,18 +235,18 @@ def _run_wavelengths_vmapped(atm, cfg, det, packages, seed,
         start += n
 
     results = []
-    for wl in range(nl):
-        e_pack = package_energy(cfg, atm, wl, packages, preps[wl].emissivity_total)
-        img = detector[wl].reshape(det.nx, det.ny, 4, 3)
+    for i, wl in enumerate(wls):
+        e_pack = package_energy(cfg, atm, wl, packages, preps[i].emissivity_total)
+        img = detector[i].reshape(det.nx, det.ny, 4, 3)
         scaled = np.empty_like(img)
         scaled[..., 0] = img[..., 0] * e_pack
         scaled[..., 1] = img[..., 1] * e_pack * e_pack
         scaled[..., 2] = img[..., 2]
         results.append(WavelengthResult(
             detector=scaled, photometry=photometry_from_detector(scaled),
-            flux_emitted=float(flux_emitted[wl]), flux_exit=float(flux_exit[wl]),
-            n_error=int(n_error[wl]), n_alive_at_cap=int(n_alive[wl]),
-            cell_depth=preps[wl].cell_depth, prep=preps[wl],
+            flux_emitted=float(flux_emitted[i]), flux_exit=float(flux_exit[i]),
+            n_error=int(n_error[i]), n_alive_at_cap=int(n_alive[i]),
+            cell_depth=preps[i].cell_depth, prep=preps[i],
         ))
     return results
 
