@@ -50,6 +50,9 @@ def run_main(argv=None):
     p.add_argument("--f64", action="store_true", help="run transport in float64")
     p.add_argument("--mesh", action="store_true",
                    help="shard photons over all local devices")
+    p.add_argument("--wl-batch", action="store_true",
+                   help="vmap all wavelengths into one kernel launch (wins for "
+                        "uniform-tau spectra on latency-bound devices)")
     p.add_argument("--resume", action="store_true",
                    help="skip wavelengths already present in spectrum.dat "
                         "(per-wavelength outputs are idempotent)")
@@ -108,8 +111,8 @@ def run_main(argv=None):
         if args.resume and len(todo) < atm.n_wavelength:
             print(f"resume: skipping {atm.n_wavelength - len(todo)} completed "
                   f"wavelengths", file=sys.stderr)
-        # all wavelengths vmapped into one kernel when on a single device
-        det, results = runner.run_spectrum(atm, cfg, packages, wl_subset=todo, **kw)
+        det, results = runner.run_spectrum(atm, cfg, packages, wl_subset=todo,
+                                           wavelength_batch=args.wl_batch, **kw)
         for wl, res in zip(todo, results):
             if wl == 0:
                 report.stage2(cfg, atm, det, packages, 0, res.cell_depth)

@@ -179,15 +179,18 @@ def detector_errors(detector: np.ndarray) -> np.ndarray:
 # Modes (ARTES.f90:121-267)
 # ---------------------------------------------------------------------------
 
-def run_spectrum(atm, cfg, packages, seed=0, wavelength_batch=True,
+def run_spectrum(atm, cfg, packages, seed=0, wavelength_batch=False,
                  wl_subset=None, **kw):
     """Per-wavelength Stokes spectrum (single-pixel detector).
 
-    With ``wavelength_batch`` (default) all wavelengths are vmapped into one
-    kernel launch: the wavelength grid is an embarrassingly parallel axis
-    (the reference runs it serially, ARTES.f90:132-166), and stacking it
-    amortises the sequential while-loop latency of the transport kernel
-    across n_wavelength times more photons in flight.
+    ``wavelength_batch`` vmaps all wavelengths into one kernel launch — the
+    wavelength grid is an embarrassingly parallel axis the reference runs
+    serially (ARTES.f90:132-166). It pays when the wavelengths have similar
+    optical depth (similar scatter-round counts) and the device is
+    latency-bound; for spectra whose tau varies strongly (e.g. Rayleigh
+    lambda^-4 bands) the vmapped while-loops run every wavelength to the
+    slowest one's round count and the serial loop wins — measured 0.43x on a
+    tau 5..19 band — so it is opt-in.
     """
     det = detector_setup(cfg, float(atm.rfront[-1]))
     wls = list(range(atm.n_wavelength)) if wl_subset is None else list(wl_subset)
