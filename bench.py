@@ -83,7 +83,7 @@ def _attempt(platform, batch, timeout_s):
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 17
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 18
     plans = [("tpu", batch, 900), ("tpu", batch // 4, 600), ("cpu", 16384, 900)]
     result = None
     used = None
