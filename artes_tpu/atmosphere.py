@@ -139,8 +139,13 @@ def write_artifact(path, atm: Atmosphere) -> None:
 
 
 def load_artifact(path) -> Atmosphere:
-    """Read atmosphere.fits (HDUs in fixed order, ARTES.f90:2071-2198)."""
-    hdus = read_fits(path)
+    """Read atmosphere.fits (HDUs in fixed order, ARTES.f90:2071-2198).
+
+    Uses the native C++ loader (the cfitsio-equivalent) when available,
+    falling back to the pure-Python reader."""
+    from artes_tpu.io.fitsio import read_fits_native
+
+    hdus = read_fits_native(path) or read_fits(path)
     data = [h[1] for h in hdus]
     radial, polar, azimuthal, wavelength = data[0], data[1], data[2], data[3]
     density, temperature, k_sca, k_abs, scatter = data[4], data[5], data[6], data[7], data[8]

@@ -16,6 +16,8 @@ format authority.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 BLOCK = 2880
@@ -167,6 +169,79 @@ def _value_end(raw: str) -> int:
         return len(raw) if end == -1 else end + 1
     slash = raw.find("/")
     return len(raw) if slash == -1 else slash
+
+
+_NATIVE = None
+
+
+def _native_lib():
+    """The C++ reader (artes_tpu/native/fits), built on demand; None if
+    unavailable. The cfitsio-equivalent bulk loader for the engine path."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    import ctypes
+    import os
+    import subprocess
+
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "native", "fits")
+    so = os.path.join(d, "libartesfits.so")
+    try:
+        if not os.path.isfile(so):
+            subprocess.run(["make", "-C", d], check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.artes_fits_scan.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_long)]
+        lib.artes_fits_hdu_info.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.c_char_p]
+        lib.artes_fits_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long]
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = False
+    return _NATIVE or None
+
+
+def read_fits_native(path):
+    """Read all image HDUs through the native library (float64 output).
+
+    Returns None when the native library is unavailable or reports an error;
+    callers fall back to the pure-Python reader.
+    """
+    import ctypes
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    cpath = os.fspath(path).encode()
+    n = ctypes.c_long(0)
+    if lib.artes_fits_scan(cpath, ctypes.byref(n)):
+        return None
+    hdus = []
+    for i in range(n.value):
+        ndim = ctypes.c_long(0)
+        shape = (ctypes.c_long * 8)()
+        name = ctypes.create_string_buffer(72)
+        if lib.artes_fits_hdu_info(cpath, i, ctypes.byref(ndim), shape, name):
+            return None
+        dims = [shape[k] for k in range(ndim.value)]
+        ext = name.value.decode() or None
+        if ndim.value == 0 or 0 in dims:
+            hdus.append((ext, None))
+            continue
+        total = 1
+        for d in dims:
+            total *= d
+        out = np.empty(total, np.float64)
+        if lib.artes_fits_read(cpath, i,
+                               out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                               total):
+            return None
+        # FITS order shape[0]=NAXIS1 is the fastest axis -> numpy reversed
+        hdus.append((ext, out.reshape(tuple(reversed(dims)))))
+    return hdus
 
 
 def read_fits(path):

@@ -49,3 +49,21 @@ def test_reference_artifact_layout(tmp_path):
     # NAXIS1 = nr = 5
     line = [raw[i:i + 80] for i in range(0, 2880, 80) if raw[i:i + 80].startswith("NAXIS1")][0]
     assert int(line.split("=")[1].split("/")[0]) == 5
+
+
+def test_native_reader_matches_python(tmp_path):
+    """The C++ loader (cfitsio equivalent) returns identical data."""
+    from artes_tpu.io.fitsio import read_fits_native
+
+    path = tmp_path / "n.fits"
+    rng = np.random.default_rng(5)
+    a = rng.random((3, 4, 5))
+    b = (rng.random((7,)) * 100).astype(np.int32)
+    c = rng.random((2, 6)).astype(np.float32)
+    write_fits(path, [("one", a), ("ints", b), ("f32", c)])
+    native = read_fits_native(path)
+    assert native is not None, "native FITS library unavailable"
+    py = read_fits(path)
+    assert [h[0] for h in native] == [h[0] for h in py]
+    for (_, dn), (_, dp) in zip(native, py):
+        np.testing.assert_array_equal(dn, np.asarray(dp, np.float64))
