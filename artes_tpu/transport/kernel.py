@@ -209,12 +209,11 @@ def _peel_surface(t, static, detector, pos, cell, face, stokes, active):
     return _splat(detector, pix, contrib, ok, first_only=True)
 
 
-def _peel_photon(t, static, detector, pos, dirn, cell, face, stokes, active):
-    """NEE at every scattering event (ARTES.f90:4710-4990)."""
-    tau, exited, err = _peel_walk(t, static, pos, cell, face, active)
-    w = jnp.exp(-jnp.minimum(tau, 500.0))
-    ok = active & exited & (tau < 50.0) & ~err
-
+def _peel_photon_prep(t, static, pos, dirn, cell, stokes):
+    """The tau-independent part of the per-scatter peel (ARTES.f90:4763-4948):
+    scattering matrix at the detector angle, azimuth bookkeeping, full-Stokes
+    rotation with the detector Q sign flip, and the target pixel. The optical
+    depth along the detector ray is supplied by the (merged) grid walk."""
     eps = 1.0e-10
     mu = jnp.einsum("...i,i->...", dirn, t.det_dir)
     mu = jnp.clip(mu, -1.0 + eps, 1.0 - eps)
@@ -234,9 +233,19 @@ def _peel_photon(t, static, detector, pos, dirn, cell, face, stokes, active):
                                          jnp.broadcast_to(t.det_dir, dirn.shape),
                                          peeling=True)
     # detector Q sign flip (ARTES.f90:4956)
-    contrib = stokes_out * jnp.asarray([1.0, -1.0, 1.0, 1.0], stokes.dtype) * w[..., None]
+    contrib = stokes_out * jnp.asarray([1.0, -1.0, 1.0, 1.0], stokes.dtype)
     pix = _pixel_index(t, static, pos)
-    return _splat(detector, pix, contrib, ok)
+    return contrib, pix
+
+
+def _peel_photon(t, static, detector, pos, dirn, cell, face, stokes, active):
+    """NEE at every scattering event (ARTES.f90:4710-4990), standalone form
+    (the scatter loop uses the walk merged into _march instead)."""
+    tau, exited, err = _peel_walk(t, static, pos, cell, face, active)
+    w = jnp.exp(-jnp.minimum(tau, 500.0))
+    ok = active & exited & (tau < 50.0) & ~err
+    contrib, pix = _peel_photon_prep(t, static, pos, dirn, cell, stokes)
+    return _splat(detector, pix, contrib * w[..., None], ok)
 
 
 # ---------------------------------------------------------------------------
@@ -377,8 +386,38 @@ def _flow_theta_update(flow, next_axis, outward, energy, cell_flat, mask):
 
 def _march(t: TransportTables, static: KernelStatic, keys, counter,
            pos, dirn, cell, face, stokes, tau, active, detector,
-           flow_g=None, flow_t=None):
+           flow_g=None, flow_t=None, merged_peel: bool = False):
+    """Walk to the next interaction point / exit / surface.
+
+    With ``merged_peel`` the per-scatter detector peel walk rides along as a
+    second half of the lane dimension (same start point, detector direction,
+    no interactions/RNG): both walks advance concurrently, so the sequential
+    while-loop depth per scatter round is max(len_peel, len_march) instead of
+    their sum — the kernel is latency-bound, so this is nearly a 2x win. The
+    RNG site schedule is unchanged (draws use the first-half keys), keeping
+    per-photon streams identical to the unmerged form.
+    """
     grid = t.grid
+    B = pos.shape[0]
+    if merged_peel:
+        inf = jnp.asarray(jnp.inf, tau.dtype)
+        pos = jnp.concatenate([pos, pos])
+        dirn = jnp.concatenate([dirn, jnp.broadcast_to(t.det_dir, (B, 3)).astype(dirn.dtype)])
+        cell = jnp.concatenate([cell, cell])
+        face = jnp.concatenate([face, face])
+        stokes = jnp.concatenate([stokes, stokes])
+        tau = jnp.concatenate([tau, jnp.full((B,), inf, tau.dtype)])  # peel never interacts
+        active = jnp.concatenate([active, active])
+        is_trans = jnp.concatenate([jnp.ones(B, bool), jnp.zeros(B, bool)])
+    else:
+        is_trans = jnp.ones(B, bool)
+
+    def half_draw(site):
+        # draws belong to the transport half; the peel half never consumes
+        u = R.uniform(keys, site, stokes.dtype)
+        if merged_peel:
+            u = jnp.concatenate([u, jnp.zeros_like(u)])
+        return u
 
     def cond(c):
         return jnp.any(c["marching"]) & (c["it"] < static.max_crossings)
@@ -390,7 +429,7 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         cfl = flat_cell(grid, c["cell"])
         k = G.small_gather(t.opacity, cfl)
         tau_cell = d * k
-        interact = c["tau_run"] + tau_cell > c["tau"]
+        interact = is_trans & (c["tau_run"] + tau_cell > c["tau"])
         s_int = (c["tau"] - c["tau_run"]) / jnp.where(k == 0.0, 1.0, k)
         step = jnp.where(interact, s_int, d)
         pos_new = c["pos"] + step[..., None] * c["dirn"]
@@ -399,17 +438,20 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
             # flow booked with the post-advance position, pre-update cell
             # (ARTES.f90:711-744)
             fg = _flow_global_update(c["flow_g"], grid, pos_new, c["dirn"],
-                                     c["stokes"][..., 0], step, cfl, m)
+                                     c["stokes"][..., 0], step, cfl, m & is_trans)
             outward = out["cell_out"][..., 0] > c["cell"][..., 0]
             outward = jnp.where(out["next_face"][..., 0] == 2,
                                 out["cell_out"][..., 1] > c["cell"][..., 1], outward)
             ft = _flow_theta_update(c["flow_t"], out["next_face"][..., 0], outward,
-                                    c["stokes"][..., 0], cfl, m & ~interact)
+                                    c["stokes"][..., 0], cfl, m & is_trans & ~interact)
         else:
             fg, ft = c["flow_g"], c["flow_t"]
 
         hit_surface = ~interact & (out["next_face"][..., 0] == 1) & \
             (out["next_face"][..., 1] == t.cell_depth)
+        # peel lanes are blocked by the surface: stop, no reflection, no RNG
+        peel_blocked = m & hit_surface & ~is_trans
+        hit_surface = hit_surface & is_trans
         any_surface = jnp.any(m & hit_surface)
 
         # surface event: absorb or Lambertian-reflect (ARTES.f90:755-774).
@@ -418,13 +460,13 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         # this crossing — the common case for surfaceless/deep atmospheres.
         def surface_branch(ops):
             detector, stokes_in, dirn_in, cell_out_in = ops
-            u_s = R.uniform(keys, c["counter"], stokes.dtype)
+            u_s = half_draw(c["counter"])
             absorbed_b = m & hit_surface & (u_s > t.surface_albedo)
             reflected = m & hit_surface & ~absorbed_b & ~out["error"]
 
             # Lambertian reflection direction (ARTES.f90:1369-1402)
-            u_l1 = R.uniform(keys, c["counter"] + 1, stokes.dtype)
-            u_l2 = R.uniform(keys, c["counter"] + 2, stokes.dtype)
+            u_l1 = half_draw(c["counter"] + 1)
+            u_l2 = half_draw(c["counter"] + 2)
             a2, b2, c2g = grid.ob_ax * grid.ob_ax, grid.ob_by * grid.ob_by, grid.ob_cz * grid.ob_cz
             normal = jnp.stack([pos_new[..., 0] * a2, pos_new[..., 1] * b2,
                                 pos_new[..., 2] * c2g], axis=-1)
@@ -461,7 +503,7 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         stop_interact = m & interact
         exited = c["exited"] | (crossing & out["grid_exit"] & ~hit_surface)
         err = c["error"] | (m & out["error"])
-        still = crossing & ~out["grid_exit"] & ~absorbed & ~err
+        still = crossing & ~out["grid_exit"] & ~absorbed & ~err & ~peel_blocked
 
         return {
             "pos": jnp.where(m[..., None], pos_new, c["pos"]),
@@ -503,6 +545,16 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
     # lanes still marching at the crossing cap are abandoned as errors
     out["error"] = out["error"] | out["marching"]
     final_counter = counter + 3 * static.max_crossings
+    if merged_peel:
+        peel = {
+            "tau": out["tau_run"][B:],
+            "exited": out["exited"][B:],
+            "error": out["error"][B:],
+        }
+        for key in ("pos", "dirn", "cell", "face", "stokes", "tau_run",
+                    "interacted", "exited", "absorbed", "error", "marching"):
+            out[key] = out[key][:B]
+        return out, final_counter, peel
     return out, final_counter
 
 
@@ -651,9 +703,10 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
             too_small = alive & (stokes[..., 0] <= t.photon_minimum)
             alive = alive & ~too_small
 
-            # peel to detector (:815)
-            detector = _peel_photon(t, static, c["detector"], c["pos"], c["dirn"],
-                                    c["cell"], c["face"], stokes, alive)
+            # peel to detector (:815): the tau-independent pieces now; the
+            # detector-ray optical depth rides along the transport march below
+            peel_contrib, peel_pix = _peel_photon_prep(
+                t, static, c["pos"], c["dirn"], c["cell"], stokes)
 
             # sample scattering angles (:819 -> 1534-1661)
             u1 = R.uniform(keys, counter, dtype)
@@ -674,9 +727,15 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
             u_t2 = R.uniform(keys, counter, dtype)
             counter = counter + 1
             tau = -jnp.log(1.0 - u_t2)
-            m_out, counter = _march(t, static, keys, counter, c["pos"], dirn,
-                                    c["cell"], c["face"], stokes, tau, alive, detector,
-                                    c["flow_g"], c["flow_t"])
+            m_out, counter, peel = _march(t, static, keys, counter, c["pos"], dirn,
+                                          c["cell"], c["face"], stokes, tau, alive,
+                                          c["detector"], c["flow_g"], c["flow_t"],
+                                          merged_peel=True)
+            detector = m_out["detector"]
+            w_peel = jnp.exp(-jnp.minimum(peel["tau"], 500.0))
+            ok_peel = alive & peel["exited"] & (peel["tau"] < 50.0) & ~peel["error"]
+            detector = _splat(detector, peel_pix, peel_contrib * w_peel[..., None],
+                              ok_peel)
             flux_exit = c["flux_exit"]
             if static.photon_source == 2:
                 flux_exit = flux_exit + jnp.sum(
@@ -686,7 +745,7 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
             return {
                 "pos": m_out["pos"], "dirn": m_out["dirn"], "cell": m_out["cell"],
                 "face": m_out["face"], "stokes": m_out["stokes"],
-                "alive": alive, "detector": m_out["detector"],
+                "alive": alive, "detector": detector,
                 "flow_g": m_out["flow_g"], "flow_t": m_out["flow_t"],
                 "flux_exit": flux_exit, "n_error": n_error,
                 "counter": counter, "round": c["round"] + 1,
