@@ -323,9 +323,11 @@ def cell_face(g: GridGeometry, pos, dirn, cell, cur_face, cell_depth):
     faces = jnp.stack([cr, ct, cp, cr + 1, ct + 1, p_outer_idx], axis=-1)
 
     def select(tier_eps):
+        # min + argmin (no take_along_axis: per-lane gathers cost ~2 ms at
+        # 256k lanes on TPU, the min-reduce is ~20 us)
         masked = jnp.where(dists > tier_eps, dists, BIG)
         best = jnp.argmin(masked, axis=-1)
-        dist = jnp.take_along_axis(masked, best[..., None], axis=-1)[..., 0]
+        dist = jnp.min(masked, axis=-1)
         return best, dist
 
     best1, dist1 = select(jnp.asarray(g.sel1, dt))
@@ -336,8 +338,11 @@ def cell_face(g: GridGeometry, pos, dirn, cell, cur_face, cell_depth):
     error = distance >= BIG  # no candidate found (error 031)
     distance = jnp.where(error, 0.0, distance)
 
-    next_axis = jnp.take_along_axis(axes, best[..., None], axis=-1)[..., 0]
-    next_idx = jnp.take_along_axis(faces, best[..., None], axis=-1)[..., 0]
+    # one-hot row selects instead of take_along_axis (same 16x reason)
+    slot = jax.lax.broadcasted_iota(jnp.int32, dists.shape, dists.ndim - 1)
+    sel = slot == best[..., None]
+    next_axis = jnp.sum(jnp.where(sel, axes, 0), axis=-1, dtype=jnp.int32)
+    next_idx = jnp.sum(jnp.where(sel, faces, 0), axis=-1, dtype=jnp.int32)
 
     # ---- next cell (ARTES.f90:2671-2798) ----
     outward = best >= 3

@@ -112,27 +112,52 @@ def _pixel_index(t: TransportTables, static: KernelStatic, pos):
     return jnp.where(oob, -1, ix * static.ny + iy)
 
 
+# TPU scatter-add serializes per lane (~2.5 ms per scatter op at 256k lanes);
+# a (B, npix) one-hot contraction runs on the MXU in ~0.4 ms at npix=64 but
+# its materialized one-hot costs B*npix*4 bytes of HBM traffic, so it only
+# wins for small detectors. Above the limit a single fused scatter is used.
+ONEHOT_SPLAT_LIMIT = 256
+
+
 def _splat(detector, pix, stokes4, mask, first_only: bool = False):
     """Accumulate (flux, flux^2, count) x 4 Stokes at pixel indices.
 
     ``detector``: (npix, 4, 3). Lanes with mask False (or out-of-image) are
-    dropped by scattering to index npix with mode='drop'. ``first_only``
-    mirrors the thermal/surface peels that only book Stokes I and its count
-    (ARTES.f90:4583-4585, :4691-4693); peel_photon books all four (:4945-4972).
+    dropped. ``first_only`` mirrors the thermal/surface peels that only book
+    Stokes I and its count (ARTES.f90:4583-4585, :4691-4693); peel_photon
+    books all four (:4945-4972).
     """
     npix = detector.shape[0]
-    idx = jnp.where(mask & (pix >= 0), pix, npix)
+    ok = mask & (pix >= 0)
     valid = stokes4 * mask[..., None]
     count = jnp.ones_like(stokes4) * mask[..., None]
+
     if first_only:
-        detector = detector.at[idx, 0, 0].add(valid[..., 0], mode="drop")
-        detector = detector.at[idx, 0, 1].add(valid[..., 0] ** 2, mode="drop")
-        detector = detector.at[idx, 0, 2].add(count[..., 0], mode="drop")
+        feats = jnp.stack([valid[..., 0], valid[..., 0] ** 2, count[..., 0]],
+                          axis=-1)                      # (B, 3)
     else:
-        detector = detector.at[idx, :, 0].add(valid, mode="drop")
-        detector = detector.at[idx, :, 1].add(valid * valid, mode="drop")
-        detector = detector.at[idx, :, 2].add(count, mode="drop")
-    return detector
+        feats = jnp.stack([valid, valid * valid, count], axis=-1)  # (B, 4, 3)
+        feats = feats.reshape(feats.shape[0], 12)
+
+    if npix == 1:
+        # spectrum/photometry detector: a masked sum
+        acc = jnp.sum(jnp.where(ok[..., None], feats, 0.0), axis=0)
+        if first_only:
+            return detector.at[0, 0, :].add(acc)
+        return detector + acc.reshape(1, 4, 3)
+
+    if npix <= ONEHOT_SPLAT_LIMIT:
+        oh = (pix[..., None] == jnp.arange(npix)[None, :]) & ok[..., None]
+        contrib = jnp.einsum("bp,bf->pf", oh.astype(feats.dtype), feats,
+                             preferred_element_type=feats.dtype)
+        if first_only:
+            return detector.at[:, 0, :].add(contrib)
+        return detector + contrib.reshape(npix, 4, 3)
+
+    idx = jnp.where(ok, pix, npix)
+    if first_only:
+        return detector.at[idx, 0, :].add(feats, mode="drop")
+    return detector.at[idx, :, :].add(feats.reshape(-1, 4, 3), mode="drop")
 
 
 # ---------------------------------------------------------------------------

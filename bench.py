@@ -46,14 +46,18 @@ static = _kernel_static(cfg, det, atm, False)
 prep = build_tables(atm, cfg, det, 0, dtype=dtype)
 ids = jnp.arange(batch, dtype=jnp.uint32)
 
+# NOTE: jax.block_until_ready does NOT synchronize on the tunneled axon
+# platform (measured: a 4096^3 matmul "completes" in 69 us). Fetching a
+# scalar to the host is the only reliable fence, so every timing below ends
+# with a float() fetch; the ~27 ms tunnel round-trip is amortized over reps.
 out = run_batch(prep.tables, static, ids, 0)
-jax.block_until_ready(out)
+_ = float(jnp.sum(out["detector"]))  # warm-up + compile fence
 
 n_rep = 5
 t0 = time.perf_counter()
 for i in range(n_rep):
     out = run_batch(prep.tables, static, ids + jnp.uint32(i * batch), jnp.uint32(i))
-jax.block_until_ready(out)
+_ = float(jnp.sum(out["detector"]))  # host fetch = real completion fence
 dt = time.perf_counter() - t0
 
 print(json.dumps({
