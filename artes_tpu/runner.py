@@ -16,7 +16,8 @@ import numpy as np
 
 from artes_tpu.config import ArtesConfig, DetectorSetup, detector_setup
 from artes_tpu.constants import PI, planck_lambda
-from artes_tpu.transport.kernel import KernelStatic, run_batch, run_batch_compacted
+from artes_tpu.transport.kernel import (KernelStatic, run_batch,
+                                        run_batch_compacted, run_stream)
 from artes_tpu.transport.tables import PreparedWavelength, build_tables
 
 PHASE_ANGLES_DEG = [1.0e-5] + [2.5 * i for i in range(1, 72)] + [180.0 - 1.0e-5]  # (:215-229)
@@ -78,11 +79,6 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
     """
     prep = build_tables(atm, cfg, det, wl_index, dtype=dtype)
     static = _kernel_static(cfg, det, atm, crescent)
-    # default: the monolithic jitted kernel. run_batch_compacted (live-lane
-    # compaction between round chunks) is available as a dispatch for hosts
-    # with locally-attached accelerators; through this machine's tunneled
-    # TPU its extra compiles/syncs outweigh the saved tail work.
-    fn = dispatch or run_batch
 
     npix = det.nx * det.ny
     detector = np.zeros((npix, 4, 3), np.float64)
@@ -92,20 +88,47 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
     flux_exit = 0.0
     n_error = 0
     n_alive = 0
-    start = 0
-    while start < packages:
-        n = min(batch_size, packages - start)
-        ids = jnp.arange(start, start + n, dtype=jnp.uint32)
-        out = fn(prep.tables, static, ids, seed)
-        detector += np.asarray(out["detector"], np.float64)
-        if static.track_flow:
-            flow_g += np.asarray(out["flow_global"], np.float64)
-            flow_t += np.asarray(out["flow_theta"], np.float64)
-        flux_emitted += float(out["flux_emitted"])
-        flux_exit += float(out["flux_exit"])
-        n_error += int(out["n_error"])
-        n_alive += int(out["n_alive_at_cap"])
-        start += n
+    if dispatch is None:
+        # default: the regeneration kernel — a fixed-width lane pool with
+        # in-loop refill (one device dispatch per <=2^30-photon chunk, ~100 %
+        # lane occupancy; run_batch's while-any-alive tail wastes >80 % of
+        # round work instead). The photon count is traced, so photon-count
+        # changes do not recompile.
+        width = max(1024, min(1 << int(np.ceil(np.log2(max(packages, 2)))),
+                              batch_size))
+        start = 0
+        chunk_idx = 0
+        while start < packages:
+            n = min(1 << 30, packages - start)
+            out = run_stream(prep.tables, static, n, seed + 7919 * chunk_idx,
+                             width)
+            detector += np.asarray(out["detector"], np.float64)
+            if static.track_flow:
+                flow_g += np.asarray(out["flow_global"], np.float64)
+                flow_t += np.asarray(out["flow_theta"], np.float64)
+            flux_emitted += float(out["flux_emitted"])
+            flux_exit += float(out["flux_exit"])
+            n_error += int(out["n_error"])
+            n_alive += int(out["n_alive_at_cap"])
+            start += n
+            chunk_idx += 1
+    else:
+        # explicit dispatch (device-mesh sharding, compaction, tests)
+        fn = dispatch
+        start = 0
+        while start < packages:
+            n = min(batch_size, packages - start)
+            ids = jnp.arange(start, start + n, dtype=jnp.uint32)
+            out = fn(prep.tables, static, ids, seed)
+            detector += np.asarray(out["detector"], np.float64)
+            if static.track_flow:
+                flow_g += np.asarray(out["flow_global"], np.float64)
+                flow_t += np.asarray(out["flow_theta"], np.float64)
+            flux_emitted += float(out["flux_emitted"])
+            flux_exit += float(out["flux_exit"])
+            n_error += int(out["n_error"])
+            n_alive += int(out["n_alive_at_cap"])
+            start += n
 
     e_pack = package_energy(cfg, atm, wl_index, packages,
                             prep.emissivity_total, crescent)

@@ -129,8 +129,10 @@ def _splat(detector, pix, stokes4, mask, first_only: bool = False):
     """
     npix = detector.shape[0]
     ok = mask & (pix >= 0)
-    valid = stokes4 * mask[..., None]
-    count = jnp.ones_like(stokes4) * mask[..., None]
+    # where-select, not multiply: masked lanes may hold non-finite state in
+    # the regeneration kernel and 0 * nan = nan
+    valid = jnp.where(ok[..., None], stokes4, 0.0)
+    count = jnp.where(ok[..., None], jnp.ones_like(stokes4), 0.0)
 
     if first_only:
         feats = jnp.stack([valid[..., 0], valid[..., 0] ** 2, count[..., 0]],
@@ -141,7 +143,7 @@ def _splat(detector, pix, stokes4, mask, first_only: bool = False):
 
     if npix == 1:
         # spectrum/photometry detector: a masked sum
-        acc = jnp.sum(jnp.where(ok[..., None], feats, 0.0), axis=0)
+        acc = jnp.sum(feats, axis=0)
         if first_only:
             return detector.at[0, 0, :].add(acc)
         return detector + acc.reshape(1, 4, 3)
@@ -411,28 +413,39 @@ def _flow_theta_update(flow, next_axis, outward, energy, cell_flat, mask):
 
 def _march(t: TransportTables, static: KernelStatic, keys, counter,
            pos, dirn, cell, face, stokes, tau, active, detector,
-           flow_g=None, flow_t=None, merged_peel: bool = False):
+           flow_g=None, flow_t=None, merged_peel: bool = False,
+           peel_dir=None, peel_active=None):
     """Walk to the next interaction point / exit / surface.
 
     With ``merged_peel`` the per-scatter detector peel walk rides along as a
     second half of the lane dimension (same start point, detector direction,
     no interactions/RNG): both walks advance concurrently, so the sequential
     while-loop depth per scatter round is max(len_peel, len_march) instead of
-    their sum — the kernel is latency-bound, so this is nearly a 2x win. The
-    RNG site schedule is unchanged (draws use the first-half keys), keeping
-    per-photon streams identical to the unmerged form.
+    their sum. The RNG site schedule is unchanged (draws use the first-half
+    keys), keeping per-photon streams identical to the unmerged form.
+
+    ``counter`` may be a scalar (shared static draw schedule: advances by
+    3 * max_crossings) or a (B,) per-lane vector (advances by 3 per crossing
+    per marching lane — the regeneration kernel's per-photon streams).
+    ``peel_dir`` overrides the peel half's direction per lane (default: the
+    detector direction); ``peel_active`` masks the peel half separately
+    (default: same as ``active``).
     """
     grid = t.grid
     B = pos.shape[0]
+    per_lane_counter = jnp.ndim(counter) > 0
     if merged_peel:
         inf = jnp.asarray(jnp.inf, tau.dtype)
+        pdir = jnp.broadcast_to(t.det_dir, (B, 3)).astype(dirn.dtype) \
+            if peel_dir is None else peel_dir
+        pact = active if peel_active is None else peel_active
         pos = jnp.concatenate([pos, pos])
-        dirn = jnp.concatenate([dirn, jnp.broadcast_to(t.det_dir, (B, 3)).astype(dirn.dtype)])
+        dirn = jnp.concatenate([dirn, pdir])
         cell = jnp.concatenate([cell, cell])
         face = jnp.concatenate([face, face])
         stokes = jnp.concatenate([stokes, stokes])
         tau = jnp.concatenate([tau, jnp.full((B,), inf, tau.dtype)])  # peel never interacts
-        active = jnp.concatenate([active, active])
+        active = jnp.concatenate([active, pact])
         is_trans = jnp.concatenate([jnp.ones(B, bool), jnp.zeros(B, bool)])
     else:
         is_trans = jnp.ones(B, bool)
@@ -476,6 +489,7 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
             (out["next_face"][..., 1] == t.cell_depth)
         # peel lanes are blocked by the surface: stop, no reflection, no RNG
         peel_blocked = m & hit_surface & ~is_trans
+        surface_flag = c["surface"] | peel_blocked | (m & hit_surface & is_trans)
         hit_surface = hit_surface & is_trans
         any_surface = jnp.any(m & hit_surface)
 
@@ -530,6 +544,12 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         err = c["error"] | (m & out["error"])
         still = crossing & ~out["grid_exit"] & ~absorbed & ~err & ~peel_blocked
 
+        if per_lane_counter:
+            adv = (m & is_trans)[:B] if merged_peel else (m & is_trans)
+            counter_new = c["counter"] + 3 * adv.astype(c["counter"].dtype)
+        else:
+            counter_new = c["counter"] + 3
+
         return {
             "pos": jnp.where(m[..., None], pos_new, c["pos"]),
             "dirn": jnp.where(m[..., None], dirn_new, c["dirn"]),
@@ -543,12 +563,13 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
             "interacted": c["interacted"] | stop_interact,
             "exited": exited,
             "absorbed": c["absorbed"] | absorbed,
+            "surface": surface_flag,
             "error": err,
             "marching": still,
             "detector": detector_new,
             "flow_g": fg,
             "flow_t": ft,
-            "counter": c["counter"] + 3,
+            "counter": counter_new,
             "it": c["it"] + 1,
         }
 
@@ -558,6 +579,7 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         "interacted": jnp.zeros(tau.shape, bool),
         "exited": jnp.zeros(tau.shape, bool),
         "absorbed": jnp.zeros(tau.shape, bool),
+        "surface": jnp.zeros(tau.shape, bool),
         "error": jnp.zeros(tau.shape, bool),
         "marching": active,
         "detector": detector,
@@ -569,15 +591,20 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
     out = jax.lax.while_loop(cond, body, init)
     # lanes still marching at the crossing cap are abandoned as errors
     out["error"] = out["error"] | out["marching"]
-    final_counter = counter + 3 * static.max_crossings
+    if per_lane_counter:
+        final_counter = out["counter"]
+    else:
+        final_counter = counter + 3 * static.max_crossings
     if merged_peel:
         peel = {
             "tau": out["tau_run"][B:],
             "exited": out["exited"][B:],
+            "surface": out["surface"][B:],
             "error": out["error"][B:],
         }
         for key in ("pos", "dirn", "cell", "face", "stokes", "tau_run",
-                    "interacted", "exited", "absorbed", "error", "marching"):
+                    "interacted", "exited", "absorbed", "surface", "error",
+                    "marching"):
             out[key] = out[key][:B]
         return out, final_counter, peel
     return out, final_counter
@@ -848,6 +875,261 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
         "n_error": out0["n_error"] + out1["n_error"],
         "n_alive_at_cap": out1["n_alive_at_cap"],
     }
+
+
+# ---------------------------------------------------------------------------
+# Regeneration kernel: fixed-width lane pool with in-loop refill
+# ---------------------------------------------------------------------------
+#
+# The ``while any(alive)`` tail of run_batch means a handful of deep-diffusing
+# photons keep the full batch width busy (measured: after 32 of 128 scatter
+# rounds only 6 % of lanes are alive, yet every round costs full width). The
+# reference hides the same tail behind per-photon OpenMP scheduling
+# (ARTES.f90:534-546). Here the TPU-native equivalent is *regeneration*: a
+# fixed-width pool where dead lanes are refilled with freshly emitted photons
+# inside the device loop, keeping occupancy near 100 % with no host syncs and
+# no shape changes. Each lane cycles through stages:
+#
+#   DEAD -> [BIRTH_PEEL (thermal)] -> PREWALK -> FIRST_WALK -> LIVE* -> DEAD
+#
+# PREWALK runs the forced-first-interaction tau walk (ARTES.f90:623-656) in
+# the march's *peel half* (it is exactly a tau-accumulating walk), so the
+# transport half state is untouched; FIRST_WALK samples the forced optical
+# depth (:675-684) and does the first transport march; LIVE rounds are the
+# scatter loop (:786-951). RNG uses per-lane draw counters, so every photon's
+# stream is a function of its own event history only — deterministic for a
+# given (seed, photon id) regardless of lane placement, width, or device.
+
+STAGE_DEAD = 0
+STAGE_BIRTH_PEEL = 1
+STAGE_PREWALK = 2
+STAGE_FIRST_WALK = 3
+STAGE_LIVE = 4
+
+
+def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
+                 width: int):
+    dtype = t.opacity.dtype
+    W = width
+    grid = t.grid
+    thermal = static.photon_source == 2
+    u32 = jnp.uint32
+    fresh_stage = STAGE_BIRTH_PEEL if thermal else STAGE_PREWALK
+
+    ncell_flow = t.opacity.shape[0] if static.track_flow else 1
+    n_photons = jnp.asarray(n_photons, u32)
+    # runaway guard only; real termination is "all photons emitted and dead"
+    round_cap = (n_photons // u32(W) + u32(2)) * u32(static.max_scatter + 4)
+
+    det_dir_b = jnp.broadcast_to(t.det_dir, (W, 3)).astype(dtype)
+
+    def cond(c):
+        return ((c["n_emitted"] < n_photons) | jnp.any(c["stage"] != STAGE_DEAD)) \
+            & (c["round"] < round_cap)
+
+    def body(c):
+        stage = c["stage"]
+        pos, dirn, cell, face, stokes = (c["pos"], c["dirn"], c["cell"],
+                                         c["face"], c["stokes"])
+        counter, pid = c["counter"], c["pid"]
+        tau_first, pre_surface = c["tau_first"], c["pre_surface"]
+        n_scat = c["n_scat"]
+        detector = c["detector"]
+        n_error = c["n_error"]
+        flux_emitted, flux_exit = c["flux_emitted"], c["flux_exit"]
+
+        # ---- refill dead lanes with fresh photons ----
+        dead = stage == STAGE_DEAD
+        remaining = n_photons - c["n_emitted"]
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        refill = dead & (rank.astype(u32) < remaining)
+        pid = jnp.where(refill, c["n_emitted"] + rank.astype(u32), pid)
+        n_emitted = c["n_emitted"] + jnp.sum(refill, dtype=u32)
+        keys = R.photon_keys(seed, pid)
+
+        e_pos, e_dir, e_cell, e_face, e_bias, e_counter = _emit(
+            t, static, keys, u32(0), dtype)
+        if thermal:
+            w0 = e_bias / G.small_gather(t.cell_weight, flat_cell(grid, e_cell))
+            flux_emitted = flux_emitted + jnp.sum(jnp.where(refill, w0, 0.0))
+        else:
+            w0 = jnp.ones(W, dtype)
+        e_stokes = jnp.zeros((W, 4), dtype).at[:, 0].set(w0)
+        rf = refill[:, None]
+        pos = jnp.where(rf, e_pos, pos)
+        dirn = jnp.where(rf, e_dir, dirn)
+        cell = jnp.where(rf, e_cell, cell)
+        face = jnp.where(rf, e_face, face)
+        stokes = jnp.where(rf, e_stokes, stokes)
+        counter = jnp.where(refill, jnp.broadcast_to(e_counter, (W,)), counter)
+        tau_first = jnp.where(refill, 0.0, tau_first)
+        pre_surface = jnp.where(refill, False, pre_surface)
+        n_scat = jnp.where(refill, 0, n_scat)
+        stage = jnp.where(refill, fresh_stage, stage)
+
+        live = stage == STAGE_LIVE
+        fw = stage == STAGE_FIRST_WALK
+        nb1 = stage == STAGE_PREWALK
+        nb0 = stage == STAGE_BIRTH_PEEL
+
+        # ---- LIVE: roulette + reweight + minimum (ARTES.f90:793-813) ----
+        u_r = R.uniform(keys, counter, dtype)
+        killed = live & (u_r < t.fstop)
+        cf = flat_cell(grid, cell)
+        alb = G.small_gather(t.albedo, cf)
+        gamma = jnp.where((alb < 1.0) & (alb > 0.0), alb / (1.0 - t.fstop), 1.0)
+        stokes = jnp.where((live & ~killed)[:, None], stokes * gamma[:, None], stokes)
+        too_small = live & ~killed & (stokes[..., 0] <= t.photon_minimum)
+        live_surv = live & ~killed & ~too_small
+        stage = jnp.where(killed | too_small, STAGE_DEAD, stage)
+
+        # ---- LIVE: detector peel prep + scattering (:815-843) ----
+        peel_contrib, peel_pix = _peel_photon_prep(t, static, pos, dirn, cell, stokes)
+        u1 = R.uniform(keys, counter + u32(1), dtype)
+        u2 = R.uniform(keys, counter + u32(2), dtype)
+        u3 = R.uniform(keys, counter + u32(3), dtype)
+        beta = S.sample_beta(G.small_gather(t.p_int, cf), stokes, u1, u2)
+        alpha = S.sample_alpha(S.gather_alpha_prefix(t.alpha_prefix, cf),
+                               stokes, beta, u3)
+        dir_new = M.direction_cosine(alpha, beta, dirn)
+        scat_m = S.matrix_at_angle(t.scatter_rows, cf, jnp.arccos(alpha))
+        stokes_new = M.polarization_rotation(alpha, beta, stokes, scat_m,
+                                             dirn, dir_new, peeling=False)
+        lsv = live_surv[:, None]
+        stokes = jnp.where(lsv, stokes_new, stokes)
+        dirn_t = jnp.where(lsv, dir_new, dirn)
+        n_scat = n_scat + live_surv.astype(jnp.int32)
+
+        # ---- optical depth: sampled (LIVE) or forced-first (FIRST_WALK,
+        # ARTES.f90:675-684) ----
+        u_tau = R.uniform(keys, counter + jnp.where(live, u32(4), u32(0)), dtype)
+        thin = tau_first < 1.0e-6
+        fw_drop = fw & thin & ~pre_surface      # vacuum, no surface (:660-664)
+        stage = jnp.where(fw_drop, STAGE_DEAD, stage)
+        fw_go = fw & ~fw_drop
+        forced = fw_go & ~thin & (tau_first < 50.0)
+        one_m_exp = 1.0 - jnp.exp(-tau_first)
+        tau = jnp.where(forced,
+                        -jnp.log(1.0 - u_tau * one_m_exp),
+                        -jnp.log(1.0 - u_tau))
+        stokes = jnp.where(forced[:, None], stokes * one_m_exp[:, None], stokes)
+        counter = counter + jnp.where(live, u32(5), u32(0)) \
+            + jnp.where(fw, u32(1), u32(0))
+
+        # ---- merged march: transport half = LIVE/FIRST_WALK lanes; peel
+        # half = scatter peel (LIVE), birth peel (BIRTH_PEEL), forced-first
+        # prewalk (PREWALK, along the photon direction) ----
+        active_t = live_surv | fw_go
+        peel_active = live_surv | nb0 | nb1
+        peel_dir = jnp.where(nb1[:, None], dirn, det_dir_b)
+        m_out, counter, peel = _march(
+            t, static, keys, counter, pos, dirn_t, cell, face, stokes, tau,
+            active_t, detector, c["flow_g"], c["flow_t"], merged_peel=True,
+            peel_dir=peel_dir, peel_active=peel_active)
+        detector = m_out["detector"]
+
+        # scatter peel splat (ARTES.f90:4945-4984)
+        w_peel = jnp.exp(-jnp.minimum(peel["tau"], 500.0))
+        ok_peel = live_surv & peel["exited"] & (peel["tau"] < 50.0) & ~peel["error"]
+        detector = _splat(detector, peel_pix,
+                          peel_contrib * w_peel[:, None], ok_peel)
+
+        if thermal:
+            # birth peel splat, e^-tau/(4 pi) on Stokes I (ARTES.f90:4519-4598)
+            w_b = w_peel / (4.0 * PI)
+            ok_b = nb0 & peel["exited"] & (peel["tau"] < 50.0) & ~peel["error"]
+            contrib_b = jnp.zeros((W, 4), dtype).at[:, 0].set(w_b * stokes[:, 0])
+            pix_b = _pixel_index(t, static, pos)
+            detector = _splat(detector, pix_b, contrib_b, ok_b, first_only=True)
+            nb0_err = nb0 & peel["error"]
+            n_error = n_error + jnp.sum(nb0_err, dtype=jnp.int32)
+            stage = jnp.where(nb0_err, STAGE_DEAD,
+                              jnp.where(nb0, STAGE_PREWALK, stage))
+
+        # prewalk results -> FIRST_WALK (ARTES.f90:623-656)
+        tau_first = jnp.where(nb1, peel["tau"], tau_first)
+        pre_surface = jnp.where(nb1, peel["surface"], pre_surface)
+        nb1_err = nb1 & peel["error"]
+        n_error = n_error + jnp.sum(nb1_err, dtype=jnp.int32)
+        stage = jnp.where(nb1_err, STAGE_DEAD,
+                          jnp.where(nb1, STAGE_FIRST_WALK, stage))
+
+        # transport outcomes
+        terr = m_out["error"] & active_t
+        n_error = n_error + jnp.sum(terr, dtype=jnp.int32)
+        if thermal:
+            flux_exit = flux_exit + jnp.sum(
+                jnp.where(m_out["exited"] & active_t, m_out["stokes"][:, 0], 0.0))
+        to_live = active_t & m_out["interacted"] & ~m_out["error"]
+        if not static.photon_scattering:
+            to_live = jnp.zeros_like(to_live)
+        stage = jnp.where(active_t,
+                          jnp.where(to_live, STAGE_LIVE, STAGE_DEAD), stage)
+        capped = (stage == STAGE_LIVE) & (n_scat >= static.max_scatter)
+        n_cap = c["n_alive_at_cap"] + jnp.sum(capped, dtype=jnp.int32)
+        stage = jnp.where(capped, STAGE_DEAD, stage)
+
+        return {
+            "stage": stage, "pid": pid, "counter": counter,
+            "pos": m_out["pos"], "dirn": m_out["dirn"], "cell": m_out["cell"],
+            "face": m_out["face"], "stokes": m_out["stokes"],
+            "tau_first": tau_first, "pre_surface": pre_surface,
+            "n_scat": n_scat, "n_emitted": n_emitted,
+            "detector": detector, "flow_g": m_out["flow_g"],
+            "flow_t": m_out["flow_t"],
+            "flux_emitted": flux_emitted, "flux_exit": flux_exit,
+            "n_error": n_error, "n_alive_at_cap": n_cap,
+            "round": c["round"] + u32(1),
+        }
+
+    init = {
+        "stage": jnp.zeros(W, jnp.int32),
+        "pid": jnp.zeros(W, u32),
+        "counter": jnp.zeros(W, u32),
+        "pos": jnp.zeros((W, 3), dtype),
+        "dirn": jnp.tile(jnp.asarray([1.0, 0.0, 0.0], dtype), (W, 1)),
+        "cell": jnp.zeros((W, 3), jnp.int32),
+        "face": jnp.zeros((W, 2), jnp.int32),
+        "stokes": jnp.zeros((W, 4), dtype),
+        "tau_first": jnp.zeros(W, dtype),
+        "pre_surface": jnp.zeros(W, bool),
+        "n_scat": jnp.zeros(W, jnp.int32),
+        "n_emitted": u32(0),
+        "detector": jnp.zeros((static.nx * static.ny, 4, 3), dtype),
+        "flow_g": jnp.zeros((ncell_flow, 3), dtype),
+        "flow_t": jnp.zeros((ncell_flow, 4), dtype),
+        "flux_emitted": jnp.zeros((), dtype),
+        "flux_exit": jnp.zeros((), dtype),
+        "n_error": jnp.zeros((), jnp.int32),
+        "n_alive_at_cap": jnp.zeros((), jnp.int32),
+        "round": u32(0),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return {
+        "detector": out["detector"],
+        "flow_global": out["flow_g"],
+        "flow_theta": out["flow_t"],
+        "flux_emitted": out["flux_emitted"],
+        "flux_exit": out["flux_exit"],
+        "n_error": out["n_error"],
+        "n_alive_at_cap": out["n_alive_at_cap"],
+        "n_emitted": out["n_emitted"],
+        "n_rounds": out["round"],
+    }
+
+
+@partial(jax.jit, static_argnums=(1, 4))
+def run_stream(tables: TransportTables, static: KernelStatic, n_photons, seed,
+               width: int):
+    """Transport ``n_photons`` photons through a fixed ``width`` lane pool
+    with in-loop regeneration (single device dispatch, no host syncs).
+
+    ``n_photons`` is traced (no recompile per photon count); ``width`` is
+    static. Returns the same tallies as :func:`run_batch` plus ``n_emitted``
+    and ``n_rounds``.
+    """
+    return _stream_impl(tables, static, jnp.asarray(n_photons, jnp.uint32),
+                        seed, width)
 
 
 def run_batch_compacted(tables: TransportTables, static: KernelStatic,
