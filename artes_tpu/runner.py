@@ -16,11 +16,30 @@ import numpy as np
 
 from artes_tpu.config import ArtesConfig, DetectorSetup, detector_setup
 from artes_tpu.constants import PI, planck_lambda
-from artes_tpu.transport.kernel import (KernelStatic, run_batch,
-                                        run_batch_compacted, run_stream)
+from artes_tpu.transport.kernel import KernelStatic, run_batch, run_stream
 from artes_tpu.transport.tables import PreparedWavelength, build_tables
 
 PHASE_ANGLES_DEG = [1.0e-5] + [2.5 * i for i in range(1, 72)] + [180.0 - 1.0e-5]  # (:215-229)
+
+
+def stellar_area_factor(cfg: ArtesConfig) -> float:
+    """Beam cross-section of the oblate silhouette over the polar disk.
+
+    The stellar beam illuminates the ellipsoid silhouette (area
+    pi Rp^2 |S u| / (abc) with S = diag(1-ob, 1-ob, 1)); the reference's
+    pi Rp^2 normalisation (ARTES.f90:2515-2531) assumes a sphere. 1.0 when
+    not oblate.
+    """
+    a = b = 1.0 - cfg.oblateness
+    c = 1.0
+    if cfg.stellar_direction:
+        st, ct = np.sin(cfg.theta_star), np.cos(cfg.theta_star)
+        sp, cp = np.sin(cfg.phi_star), np.cos(cfg.phi_star)
+        u = (-st * cp, -st * sp, -ct)
+    else:
+        u = (-1.0, 0.0, 0.0)
+    return float(np.sqrt((a * u[0]) ** 2 + (b * u[1]) ** 2 + (c * u[2]) ** 2)
+                 / (a * b * c))
 
 
 def package_energy(cfg: ArtesConfig, atm, wl_index: int, packages: int,
@@ -31,6 +50,7 @@ def package_energy(cfg: ArtesConfig, atm, wl_index: int, packages: int,
         r_p = atm.rfront[-1]
         e = PI * flux * r_p * r_p * cfg.r_star * cfg.r_star / (
             cfg.orbit * cfg.orbit * cfg.distance_planet * cfg.distance_planet * packages)
+        e *= stellar_area_factor(cfg)
         if crescent:
             e *= 0.19  # crescent disk fraction (:2527-2531)
         return float(e)

@@ -12,9 +12,10 @@ Every march (transport, detector peel) is a bounded ``lax.while_loop`` whose
 body performs one cell crossing for every active lane via the vectorized
 :func:`~artes_tpu.transport.geometry.cell_face`. Detector accumulation is a
 scatter-add into a per-batch image that the caller psum-reduces across
-devices. All randomness is counter-based (``rng.py``): a single traced draw
-counter advances in lockstep so every (photon, site) pair is unique and
-reproducible regardless of batching.
+devices. All randomness is counter-based (``rng.py``) with per-lane draw-site
+counters that advance with each photon's own event history, so every kernel
+variant (single-device, sharded, vmapped, regeneration) produces the same
+per-photon stream — results are independent of batch/device splits.
 
 Lengths are in scaled units (outer radius = 1); opacities are pre-multiplied
 by the length scale.
@@ -283,13 +284,22 @@ def _emit(t: TransportTables, static: KernelStatic, keys, counter, dtype):
     n = keys.shape[0]
     grid = t.grid
 
-    def draw(c):
-        return R.uniform(keys, c, dtype), c + 1
-
     if static.photon_source == 1:
-        # stellar: uniform disk aimed at -x (ARTES.f90:1027-1115)
-        u1, counter = draw(counter)
-        u2, counter = draw(counter)
+        # Stellar: uniform parallel beam over the *ellipsoid silhouette*.
+        #
+        # The reference samples the disk of the polar radius rfront(nr) on the
+        # bounding sphere and force-assigns radial cell nr-1
+        # (ARTES.f90:1054-1077, :2621), which for an oblate grid places entry
+        # points deep inside the ellipsoid in the wrong cell (the equatorial
+        # bulge is both missed by the beam and mis-located). Re-design: map to
+        # the unit-sphere frame with S = diag(a,b,c) (an affine map preserves
+        # uniform parallel beams), sample the unit disk perpendicular to the
+        # transformed beam direction, land on the unit sphere, and map back.
+        # At zero oblateness this reduces bit-exactly to the reference's disk
+        # sampling. The beam cross-section is pi*Rp^2*|S u|/(abc); the runner
+        # multiplies the package energy by that factor (stellar_area_factor).
+        u1, u2 = R.uniform_n(keys, counter, 2, dtype)
+        counter = counter + 2
         if static.crescent:
             # crescent sampling r > 0.9 by inverse transform (:1041-1049)
             u1 = 0.81 + 0.19 * u1
@@ -297,27 +307,39 @@ def _emit(t: TransportTables, static: KernelStatic, keys, counter, dtype):
         phi_disk = TWO_PI * u2
         disk1 = r_disk * jnp.sin(phi_disk)
         disk2 = r_disk * jnp.cos(phi_disk)
-        x = jnp.sqrt(jnp.maximum(1.0 - disk1 * disk1 - disk2 * disk2, 0.0))
-        pos = jnp.stack([x, disk1, disk2], axis=-1)
-        dirn = jnp.broadcast_to(jnp.asarray([-1.0, 0.0, 0.0], dtype), pos.shape)
+        depth = jnp.sqrt(jnp.maximum(1.0 - disk1 * disk1 - disk2 * disk2, 0.0))
+
         if static.stellar_direction:
             rot_y = M.rotation_matrix(1, -(PI / 2.0 - t.star_theta))
             rot_z = M.rotation_matrix(2, t.star_phi)
             rot = rot_z @ rot_y
-            pos = jnp.einsum("ij,...j->...i", rot, pos)
-            theta_dir = jnp.mod(PI - t.star_theta, TWO_PI)
-            phi_dir = jnp.mod(PI + t.star_phi, TWO_PI)
-            d = jnp.stack([jnp.sin(theta_dir) * jnp.cos(phi_dir),
-                           jnp.sin(theta_dir) * jnp.sin(phi_dir),
-                           jnp.cos(theta_dir)])
-            dirn = jnp.broadcast_to(d, pos.shape)
+            u_hat = rot @ jnp.asarray([-1.0, 0.0, 0.0], dtype)
+            e1 = rot @ jnp.asarray([0.0, 1.0, 0.0], dtype)
+            e2 = rot @ jnp.asarray([0.0, 0.0, 1.0], dtype)
+        else:
+            u_hat = jnp.asarray([-1.0, 0.0, 0.0], dtype)
+            e1 = jnp.asarray([0.0, 1.0, 0.0], dtype)
+            e2 = jnp.asarray([0.0, 0.0, 1.0], dtype)
+
+        s_diag = jnp.asarray([grid.ob_ax, grid.ob_by, grid.ob_cz], dtype)
+        w = s_diag * u_hat
+        w_hat = w / jnp.linalg.norm(w)
+        e1s = s_diag * e1
+        e1s = e1s - jnp.dot(e1s, w_hat) * w_hat
+        e1s = e1s / jnp.linalg.norm(e1s)
+        e2s = jnp.cross(e1s, w_hat)
+        q = (disk1[..., None] * e1s + disk2[..., None] * e2s
+             - depth[..., None] * w_hat)
+        pos = q / s_diag
+        dirn = jnp.broadcast_to(u_hat, pos.shape)
         cell = G.locate_cell(grid, pos, jnp.full((n,), grid.nr - 1, jnp.int32))
         face = jnp.broadcast_to(jnp.asarray([1, grid.nr], jnp.int32), (n, 2))
         bias_weight = jnp.ones(n, dtype)
         return pos, dirn, cell, face, bias_weight, counter
 
     # thermal: sample cell from the cumulative-emissivity CDF (:1124-1155)
-    u_cell, counter = draw(counter)
+    u_cell, u_r, u_t, u_p, u_a, u_b = R.uniform_n(keys, counter, 6, dtype)
+    counter = counter + 6
     total = t.emis_cum[-1]
     target = u_cell * total
     idx = jnp.searchsorted(t.emis_cum, target, side="left").astype(jnp.int32)
@@ -327,9 +349,6 @@ def _emit(t: TransportTables, static: KernelStatic, keys, counter, dtype):
     cp = idx % grid.nphi
     cell = jnp.stack([cr, ct, cp], axis=-1)
 
-    u_r, counter = draw(counter)
-    u_t, counter = draw(counter)
-    u_p, counter = draw(counter)
     r = grid.rfront[cr] + u_r * (grid.rfront[cr + 1] - grid.rfront[cr])
     cos_t = grid.theta_cos[ct] + u_t * (grid.theta_cos[ct + 1] - grid.theta_cos[ct])
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
@@ -345,8 +364,6 @@ def _emit(t: TransportTables, static: KernelStatic, keys, counter, dtype):
                      r * sin_t * jnp.sin(phi) / grid.ob_by,
                      r * cos_t / grid.ob_cz], axis=-1)
 
-    u_a, counter = draw(counter)
-    u_b, counter = draw(counter)
     if static.photon_emission == 1:
         # isotropic (:1212-1227)
         alpha = 2.0 * u_a - 1.0
@@ -424,16 +441,16 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
     their sum. The RNG site schedule is unchanged (draws use the first-half
     keys), keeping per-photon streams identical to the unmerged form.
 
-    ``counter`` may be a scalar (shared static draw schedule: advances by
-    3 * max_crossings) or a (B,) per-lane vector (advances by 3 per crossing
-    per marching lane — the regeneration kernel's per-photon streams).
+    ``counter`` is a (B,) per-lane draw-site vector advancing by 3 per
+    crossing per marching lane, so every photon's stream is a function of its
+    own event history only — the one schedule shared by every kernel variant
+    (single-device, sharded, vmapped, regeneration).
     ``peel_dir`` overrides the peel half's direction per lane (default: the
     detector direction); ``peel_active`` masks the peel half separately
     (default: same as ``active``).
     """
     grid = t.grid
     B = pos.shape[0]
-    per_lane_counter = jnp.ndim(counter) > 0
     if merged_peel:
         inf = jnp.asarray(jnp.inf, tau.dtype)
         pdir = jnp.broadcast_to(t.det_dir, (B, 3)).astype(dirn.dtype) \
@@ -450,12 +467,12 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
     else:
         is_trans = jnp.ones(B, bool)
 
-    def half_draw(site):
+    def half_draw3(base_site):
         # draws belong to the transport half; the peel half never consumes
-        u = R.uniform(keys, site, stokes.dtype)
+        us = R.uniform_n(keys, base_site, 3, stokes.dtype)
         if merged_peel:
-            u = jnp.concatenate([u, jnp.zeros_like(u)])
-        return u
+            us = [jnp.concatenate([u, jnp.zeros_like(u)]) for u in us]
+        return us
 
     def cond(c):
         return jnp.any(c["marching"]) & (c["it"] < static.max_crossings)
@@ -499,13 +516,10 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         # this crossing — the common case for surfaceless/deep atmospheres.
         def surface_branch(ops):
             detector, stokes_in, dirn_in, cell_out_in = ops
-            u_s = half_draw(c["counter"])
+            u_s, u_l1, u_l2 = half_draw3(c["counter"])
             absorbed_b = m & hit_surface & (u_s > t.surface_albedo)
             reflected = m & hit_surface & ~absorbed_b & ~out["error"]
-
             # Lambertian reflection direction (ARTES.f90:1369-1402)
-            u_l1 = half_draw(c["counter"] + 1)
-            u_l2 = half_draw(c["counter"] + 2)
             a2, b2, c2g = grid.ob_ax * grid.ob_ax, grid.ob_by * grid.ob_by, grid.ob_cz * grid.ob_cz
             normal = jnp.stack([pos_new[..., 0] * a2, pos_new[..., 1] * b2,
                                 pos_new[..., 2] * c2g], axis=-1)
@@ -544,11 +558,8 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         err = c["error"] | (m & out["error"])
         still = crossing & ~out["grid_exit"] & ~absorbed & ~err & ~peel_blocked
 
-        if per_lane_counter:
-            adv = (m & is_trans)[:B] if merged_peel else (m & is_trans)
-            counter_new = c["counter"] + 3 * adv.astype(c["counter"].dtype)
-        else:
-            counter_new = c["counter"] + 3
+        adv = (m & is_trans)[:B] if merged_peel else (m & is_trans)
+        counter_new = c["counter"] + 3 * adv.astype(c["counter"].dtype)
 
         return {
             "pos": jnp.where(m[..., None], pos_new, c["pos"]),
@@ -591,10 +602,7 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
     out = jax.lax.while_loop(cond, body, init)
     # lanes still marching at the crossing cap are abandoned as errors
     out["error"] = out["error"] | out["marching"]
-    if per_lane_counter:
-        final_counter = out["counter"]
-    else:
-        final_counter = counter + 3 * static.max_crossings
+    final_counter = out["counter"]
     if merged_peel:
         peel = {
             "tau": out["tau_run"][B:],
@@ -683,7 +691,9 @@ def _start_impl(t: TransportTables, static: KernelStatic, photon_ids, seed):
     tau_first, surface_hit, pre_err = _first_tau_walk(t, static, pos, dirn, cell, face, active)
     active = active & ~pre_err
     u_tau = R.uniform(keys, counter, dtype)
-    counter = counter + 1
+    # per-lane draw-site counters from here on: every later draw site is a
+    # function of the photon's own event history only (cross-kernel parity)
+    counter = jnp.broadcast_to(jnp.asarray(counter + 1, jnp.uint32), (n,))
     thin = tau_first < 1.0e-6
     # photons through vacuum that do not hit the surface are dropped (:660-664)
     active = active & ~(thin & ~surface_hit)
@@ -742,9 +752,11 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
             alive = c["alive"]
             counter = c["counter"]
             stokes = c["stokes"]
+            # the round's five draws (sites counter..counter+4) in one batch:
+            # roulette, beta x2, alpha, next optical depth
+            u_r, u1, u2, u3, u_t2 = R.uniform_n(keys, counter, 5, dtype)
+            counter = counter + 5
             # russian roulette (:793-807)
-            u_r = R.uniform(keys, counter, dtype)
-            counter = counter + 1
             killed = alive & (u_r < t.fstop)
             alive = alive & ~killed
             cf = flat_cell(t.grid, c["cell"])
@@ -761,13 +773,8 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
                 t, static, c["pos"], c["dirn"], c["cell"], stokes)
 
             # sample scattering angles (:819 -> 1534-1661)
-            u1 = R.uniform(keys, counter, dtype)
-            u2 = R.uniform(keys, counter + 1, dtype)
-            u3 = R.uniform(keys, counter + 2, dtype)
-            counter = counter + 3
             beta = S.sample_beta(G.small_gather(t.p_int, cf), stokes, u1, u2)
-            alpha = S.sample_alpha(S.gather_alpha_prefix(t.alpha_prefix, cf),
-                                   stokes, beta, u3)
+            alpha = S.sample_alpha_fused(t.alpha_prefix, cf, stokes, beta, u3)
             dir_new = M.direction_cosine(alpha, beta, c["dirn"])
             scatter = S.matrix_at_angle(t.scatter_rows, cf, jnp.arccos(alpha))
             stokes_new = M.polarization_rotation(alpha, beta, stokes, scatter,
@@ -776,8 +783,6 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
             dirn = jnp.where(alive[..., None], dir_new, c["dirn"])
 
             # next optical depth + march (:845-941)
-            u_t2 = R.uniform(keys, counter, dtype)
-            counter = counter + 1
             tau = -jnp.log(1.0 - u_t2)
             m_out, counter, peel = _march(t, static, keys, counter, c["pos"], dirn,
                                           c["cell"], c["face"], stokes, tau, alive,
@@ -838,20 +843,6 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
 def start_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
     """Jitted emission + first-interaction phase (resumable-state API)."""
     return _start_impl(tables, static, photon_ids, seed)
-
-
-@partial(jax.jit, static_argnums=(1, 4))
-def scatter_phase(tables: TransportTables, static: KernelStatic, state, seed,
-                  rounds: int):
-    """Jitted scatter-rounds phase; accumulators start at zero."""
-    t = tables
-    dtype = t.opacity.dtype
-    detector = jnp.zeros((static.nx * static.ny, 4, 3), dtype)
-    ncell_flow = t.opacity.shape[0] if static.track_flow else 1
-    flow_g = jnp.zeros((ncell_flow, 3), dtype)
-    flow_t = jnp.zeros((ncell_flow, 4), dtype)
-    return _scatter_rounds_impl(t, static, state, seed, rounds, detector,
-                                flow_g, flow_t)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -972,8 +963,12 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         nb1 = stage == STAGE_PREWALK
         nb0 = stage == STAGE_BIRTH_PEEL
 
+        # the round's draws (sites counter..counter+4) in one batch; FIRST_WALK
+        # lanes use site counter+0 for their forced optical depth instead
+        d0, d1, d2, d3, d4 = R.uniform_n(keys, counter, 5, dtype)
+
         # ---- LIVE: roulette + reweight + minimum (ARTES.f90:793-813) ----
-        u_r = R.uniform(keys, counter, dtype)
+        u_r = d0
         killed = live & (u_r < t.fstop)
         cf = flat_cell(grid, cell)
         alb = G.small_gather(t.albedo, cf)
@@ -985,12 +980,9 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
 
         # ---- LIVE: detector peel prep + scattering (:815-843) ----
         peel_contrib, peel_pix = _peel_photon_prep(t, static, pos, dirn, cell, stokes)
-        u1 = R.uniform(keys, counter + u32(1), dtype)
-        u2 = R.uniform(keys, counter + u32(2), dtype)
-        u3 = R.uniform(keys, counter + u32(3), dtype)
+        u1, u2, u3 = d1, d2, d3
         beta = S.sample_beta(G.small_gather(t.p_int, cf), stokes, u1, u2)
-        alpha = S.sample_alpha(S.gather_alpha_prefix(t.alpha_prefix, cf),
-                               stokes, beta, u3)
+        alpha = S.sample_alpha_fused(t.alpha_prefix, cf, stokes, beta, u3)
         dir_new = M.direction_cosine(alpha, beta, dirn)
         scat_m = S.matrix_at_angle(t.scatter_rows, cf, jnp.arccos(alpha))
         stokes_new = M.polarization_rotation(alpha, beta, stokes, scat_m,
@@ -1002,7 +994,7 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
 
         # ---- optical depth: sampled (LIVE) or forced-first (FIRST_WALK,
         # ARTES.f90:675-684) ----
-        u_tau = R.uniform(keys, counter + jnp.where(live, u32(4), u32(0)), dtype)
+        u_tau = jnp.where(live, d4, d0)
         thin = tau_first < 1.0e-6
         fw_drop = fw & thin & ~pre_surface      # vacuum, no surface (:660-664)
         stage = jnp.where(fw_drop, STAGE_DEAD, stage)
@@ -1130,50 +1122,3 @@ def run_stream(tables: TransportTables, static: KernelStatic, n_photons, seed,
     """
     return _stream_impl(tables, static, jnp.asarray(n_photons, jnp.uint32),
                         seed, width)
-
-
-def run_batch_compacted(tables: TransportTables, static: KernelStatic,
-                        photon_ids, seed, chunk_rounds: int = 32,
-                        min_batch: int = 4096):
-    """Host-driven transport with live-lane compaction between round chunks.
-
-    The ``while any(alive)`` tail means a handful of deep-diffusing photons
-    keep the full batch width busy (the reference has the same tail, hidden
-    by per-photon OpenMP scheduling, ARTES.f90:534-546). Here: run
-    ``chunk_rounds`` scatter rounds, then gather the surviving lanes into the
-    next power-of-two batch and resume. Power-of-two buckets bound the number
-    of distinct compiled shapes; the counter-based RNG makes the per-photon
-    streams identical to the uncompacted kernel.
-    """
-    state, acc = start_batch(tables, static, photon_ids, seed)
-    acc = dict(acc)
-    n_alive_cap = 0
-    rounds_done = 0
-    while static.photon_scattering and rounds_done < static.max_scatter:
-        n_alive = int(jnp.sum(state["alive"]))
-        if n_alive == 0:
-            break
-        batch = state["alive"].shape[0]
-        target = 1 << max(int(np.ceil(np.log2(max(n_alive, 1)))), 0)
-        target = max(target, min_batch)
-        if target < batch:
-            idx = jnp.nonzero(state["alive"], size=target, fill_value=0)[0]
-            pad_dead = jnp.arange(target) >= n_alive
-            # gather per-lane fields; the draw counter is a shared scalar
-            state = {k: (v if k == "counter" else v[idx]) for k, v in state.items()}
-            state["alive"] = state["alive"] & ~pad_dead
-        rounds = min(chunk_rounds, static.max_scatter - rounds_done)
-        state, out = scatter_phase(tables, static, state, seed, rounds)
-        for key in ("detector", "flow_global", "flow_theta", "flux_exit", "n_error"):
-            acc[key] = acc[key] + out[key]
-        n_alive_cap = int(out["n_alive_at_cap"])
-        rounds_done += rounds
-    return {
-        "detector": acc["detector"],
-        "flow_global": acc["flow_global"],
-        "flow_theta": acc["flow_theta"],
-        "flux_emitted": acc["flux_emitted"],
-        "flux_exit": acc["flux_exit"],
-        "n_error": acc["n_error"],
-        "n_alive_at_cap": n_alive_cap,
-    }

@@ -114,21 +114,42 @@ def gather_alpha_prefix(alpha_prefix_all, cell_flat, onehot_limit=256):
     return alpha_prefix_all[cell_flat]
 
 
-def sample_alpha(alpha_prefix, stokes, beta, u3):
-    """Scattering-angle cosine from the conditional CDF (ARTES.f90:1597-1659).
-
-    ``alpha_prefix``: (B, 4, 181) per-lane prefix tables (see
-    :func:`gather_alpha_prefix`). Returns alpha = cos(scattering angle),
-    clipped to (-1, 1).
-    """
-    dt = stokes.dtype
+def alpha_weights(stokes, beta):
+    """Stokes/azimuth weights of the conditional alpha CDF: the coefficient
+    of each matrix-row prefix (ARTES.f90:1612-1617). Returns (B, 4)."""
     i, q, u, v = stokes[..., 0], stokes[..., 1], stokes[..., 2], stokes[..., 3]
     c2b = jnp.cos(2.0 * beta)
     s2b = jnp.sin(2.0 * beta)
-    # coefficient of each matrix row element (:1612-1617)
-    w = jnp.stack([i, c2b * q + s2b * u, -s2b * q + c2b * u, v], axis=-1)
-    cum = jnp.einsum("...k,...kj->...j", w, alpha_prefix)  # (B, 181)
+    return jnp.stack([i, c2b * q + s2b * u, -s2b * q + c2b * u, v], axis=-1)
 
+
+# With one-hot cell selection folded into the weights, the per-lane CDF is a
+# single (B, 4*ncell) @ (4*ncell, 181) MXU matmul — no (B, 4, 181) per-lane
+# prefix rows ever hit HBM (at 256k lanes those cost ~760 MB per round).
+ALPHA_FUSED_NCELL_LIMIT = 32
+
+
+def alpha_cum(alpha_prefix_all, cell_flat, w):
+    """Per-lane conditional CDF at all 181 edges: (B, 181).
+
+    ``alpha_prefix_all``: (ncell, 4, 181); ``w``: (B, 4) from
+    :func:`alpha_weights`.
+    """
+    ncell = alpha_prefix_all.shape[0]
+    dt = alpha_prefix_all.dtype
+    if ncell <= ALPHA_FUSED_NCELL_LIMIT:
+        oh = jax.nn.one_hot(cell_flat, ncell, dtype=dt)
+        w2 = (oh[..., None] * w[..., None, :]).reshape(w.shape[0], ncell * 4)
+        flat = alpha_prefix_all.reshape(ncell * 4, N_ANGLE + 1)
+        return jnp.einsum("bk,kj->bj", w2, flat, preferred_element_type=dt)
+    rows = gather_alpha_prefix(alpha_prefix_all, cell_flat)
+    return jnp.einsum("...k,...kj->...j", w, rows)
+
+
+def invert_alpha_cum(cum, u3):
+    """Invert the (B, 181) conditional CDF -> alpha = cos(scattering angle),
+    clipped to (-1, 1) (the scan at ARTES.f90:1625-1659)."""
+    dt = cum.dtype
     target = u3 * cum[..., -1]
     k, cum_lo, cum_hi = _invert_materialized(cum, target)
     dcum = cum_hi - cum_lo
@@ -137,6 +158,24 @@ def sample_alpha(alpha_prefix, stokes, beta, u3):
     alpha = jnp.cos(alpha_deg * _DEG)
     eps = 1.0e-10
     return jnp.clip(alpha, -1.0 + eps, 1.0 - eps)
+
+
+def sample_alpha(alpha_prefix, stokes, beta, u3):
+    """Scattering-angle cosine from the conditional CDF (ARTES.f90:1597-1659).
+
+    ``alpha_prefix``: (B, 4, 181) per-lane prefix tables (see
+    :func:`gather_alpha_prefix`). Returns alpha = cos(scattering angle),
+    clipped to (-1, 1).
+    """
+    w = alpha_weights(stokes, beta)
+    cum = jnp.einsum("...k,...kj->...j", w, alpha_prefix)  # (B, 181)
+    return invert_alpha_cum(cum, u3)
+
+
+def sample_alpha_fused(alpha_prefix_all, cell_flat, stokes, beta, u3):
+    """sample_alpha without materializing per-lane prefix rows."""
+    w = alpha_weights(stokes, beta)
+    return invert_alpha_cum(alpha_cum(alpha_prefix_all, cell_flat, w), u3)
 
 
 def matrix_at_angle(scatter_rows, cell_flat, acos_alpha):

@@ -1,15 +1,19 @@
 """Benchmark: photon-transport throughput on the flagship config.
 
 Runs BASELINE config #1 (homogeneous Rayleigh layer, reflected-light Stokes
-spectrum) on the available accelerator and prints ONE JSON line:
+spectrum) through the production kernel (``run_stream``, the regeneration
+kernel the runner dispatches by default) and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "photons/s", "vs_baseline": N}
 
 ``vs_baseline`` measures against the BASELINE.json north star of 1e8 photon
-packets/s per chip.
+packets/s per chip. ``n_alive_at_cap`` reports photons truncated at the
+max_scatter cap (an accuracy knob); ``imaging_throughput`` exercises the
+25x25-pixel detector splat path so the flagship number is not flattered by
+the 1-pixel spectrum fast path.
 
 The tunneled TPU on this machine can wedge (device errors leave the runtime
 hung); the measurement therefore runs in a watchdogged subprocess with
-geometrically smaller batches on retry and a CPU fallback, so the driver
+geometrically smaller loads on retry and a CPU fallback, so the driver
 always gets a JSON line.
 """
 
@@ -27,52 +31,67 @@ import jax.numpy as jnp
 import numpy as np
 
 platform = sys.argv[1]
-batch = int(sys.argv[2])
+n_photons = int(sys.argv[2])
+width = int(sys.argv[3])
 if platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 from artes_tpu import presets
 from artes_tpu.config import ArtesConfig, detector_setup
 from artes_tpu.runner import _kernel_static
-from artes_tpu.transport.kernel import run_batch
+from artes_tpu.transport.kernel import run_stream
 from artes_tpu.transport.tables import build_tables
 
 dtype = jnp.float32
 atm = presets.rayleigh_single_layer(tau=5.0)
-cfg = ArtesConfig()
-cfg.mode = "spectrum"
-det = detector_setup(cfg, float(atm.rfront[-1]))
-static = _kernel_static(cfg, det, atm, False)
-prep = build_tables(atm, cfg, det, 0, dtype=dtype)
-ids = jnp.arange(batch, dtype=jnp.uint32)
+
+def setup(mode, npix=25):
+    cfg = ArtesConfig()
+    cfg.mode = mode
+    cfg.npix = npix
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=dtype)
+    return static, prep
 
 # NOTE: jax.block_until_ready does NOT synchronize on the tunneled axon
 # platform (measured: a 4096^3 matmul "completes" in 69 us). Fetching a
 # scalar to the host is the only reliable fence, so every timing below ends
-# with a float() fetch; the ~27 ms tunnel round-trip is amortized over reps.
-out = run_batch(prep.tables, static, ids, 0)
-_ = float(jnp.sum(out["detector"]))  # warm-up + compile fence
+# with a float() fetch.
 
-n_rep = 5
-t0 = time.perf_counter()
-for i in range(n_rep):
-    out = run_batch(prep.tables, static, ids + jnp.uint32(i * batch), jnp.uint32(i))
-_ = float(jnp.sum(out["detector"]))  # host fetch = real completion fence
-dt = time.perf_counter() - t0
+def measure(static, prep, n, seed0):
+    out = run_stream(prep.tables, static, n, seed0, width)
+    _ = float(jnp.sum(out["detector"]))  # warm-up + compile fence
+    t0 = time.perf_counter()
+    out = run_stream(prep.tables, static, n, seed0 + 1, width)
+    stat = [float(jnp.sum(out["detector"])), int(out["n_error"]),
+            int(out["n_alive_at_cap"])]  # host fetch = completion fence
+    dt = time.perf_counter() - t0
+    return n / dt, out, stat
+
+static_s, prep_s = setup("spectrum")
+tp_spec, out, (det_sum, n_err, n_cap) = measure(static_s, prep_s, n_photons, 11)
+
+static_i, prep_i = setup("imaging_mono", npix=25)
+tp_img, out_i, (det_sum_i, n_err_i, n_cap_i) = measure(
+    static_i, prep_i, max(n_photons // 4, width), 23)
 
 print(json.dumps({
-    "throughput": n_rep * batch / dt,
+    "throughput": tp_spec,
+    "imaging_throughput": tp_img,
     "detector_I_raw": float(np.asarray(out["detector"], np.float64)[:, 0, 0].sum()),
     "device": str(jax.devices()[0]),
-    "n_error": int(out["n_error"]),
+    "n_error": n_err,
+    "n_alive_at_cap": n_cap,
+    "n_error_imaging": n_err_i,
 }))
 """
 
 
-def _attempt(platform, batch, timeout_s):
+def _attempt(platform, n, width, timeout_s):
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", _WORKER, platform, str(batch)],
+            [sys.executable, "-c", _WORKER, platform, str(n), str(width)],
             capture_output=True, timeout=timeout_s, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
         )
@@ -87,14 +106,16 @@ def _attempt(platform, batch, timeout_s):
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 18
-    plans = [("tpu", batch, 900), ("tpu", batch // 4, 600), ("cpu", 16384, 900)]
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 24
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 18
+    plans = [("tpu", n, width, 1500), ("tpu", n // 8, width // 4, 600),
+             ("cpu", 1 << 16, 1 << 14, 900)]
     result = None
     used = None
-    for platform, b, timeout_s in plans:
-        result = _attempt(platform, b, timeout_s)
+    for platform, np_, w, timeout_s in plans:
+        result = _attempt(platform, np_, w, timeout_s)
         if result is not None:
-            used = (platform, b)
+            used = (platform, np_, w)
             break
     if result is None:
         print(json.dumps({
@@ -109,11 +130,15 @@ def main():
         "value": throughput,
         "unit": "photons/s",
         "vs_baseline": throughput / NORTH_STAR,
-        "batch": used[1],
+        "n_photons": used[1],
+        "width": used[2],
         "platform": used[0],
+        "imaging_throughput_25px": result["imaging_throughput"],
         "detector_I_raw": result["detector_I_raw"],
         "device": result["device"],
         "n_error": result["n_error"],
+        "n_alive_at_cap": result["n_alive_at_cap"],
+        "n_error_imaging": result["n_error_imaging"],
     }))
 
 

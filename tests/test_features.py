@@ -42,31 +42,48 @@ def test_stellar_direction_changes_phase():
 
 
 def test_oblate_image_wider_than_tall():
-    """Oblateness stretches the equator: the detector image (pole axis on
-    the image y axis) must be wider than tall (ARTES.f90:469-479)."""
-    # a thick shell so the inner ellipsoid's equatorial bulge stays inside
-    # the (spherical) stellar emission surface — the same geometric contract
-    # the reference's sphere-sampled stellar source assumes (ARTES.f90:1054-1077)
-    atm = presets.rayleigh_single_layer(tau=4.0, nr=3, shell_km=35000.0)
+    """Oblateness stretches the equator: seen at full phase, the detector
+    image (pole axis on the image y axis) must be wider than tall.
+
+    The stellar beam samples the *ellipsoid silhouette* (kernel._emit) — a
+    re-design of the reference's sphere-of-polar-radius sampling
+    (ARTES.f90:1054-1077), which misses the equatorial bulge and mis-assigns
+    the entry cell for oblate grids. Works for thin shells too.
+    """
+    atm = presets.rayleigh_single_layer(tau=4.0)  # 100 km shell: the hard case
     cfg = ArtesConfig()
     cfg.mode = "imaging_mono"
     cfg.npix = 15
     cfg.oblateness = 0.3
+    # star behind the observer -> full phase, the whole silhouette is lit
+    cfg.stellar_direction = True
+    cfg.theta_star = PI / 2
+    cfg.phi_star = PI / 2
     det, res = runner.run_imaging_mono(atm, cfg, packages=30000, seed=4,
                                        batch_size=30000)
     img = res.detector[..., 0, 0]
-    assert res.n_error < 30  # rare oblate-grazing aborts only
+    assert res.n_error == 0
     assert img.sum() > 0
-    # The reference samples stellar photons on the *sphere* of radius
-    # rfront(nr) (ARTES.f90:1054-1077), which misses the oblate equatorial
-    # bulge: the illuminated zones concentrate at high |z| (faithfully
-    # reproduced here). Check that structure: the flux-weighted |y_im|
-    # exceeds the centre band.
-    prof = img.sum(axis=0)  # over image-x -> profile along z
-    npx = cfg.npix
-    outer = prof[:npx // 3].sum() + prof[-(npx // 3):].sum()
-    inner = prof[npx // 3:-(npx // 3)].sum()
-    assert outer > 0.3 * inner
+    # spans above 2 % of peak: equatorial (image x) vs polar (image y)
+    profx = img.sum(axis=1)
+    profy = img.sum(axis=0)
+    span = lambda p: np.ptp(np.nonzero(p > 0.02 * p.max())[0])
+    assert span(profx) > span(profy)
+    # quantitative: spans should scale like 1/(1-ob) = 1.43 (+/- 1 px each)
+    ratio = (span(profx) + 1) / (span(profy) + 1)
+    assert 1.2 < ratio < 1.7
+    # flux scales with the collecting area: compare with the sphere at the
+    # same geometry (area factor 1/(1-ob) for an equator-on beam)
+    cfg_s = ArtesConfig()
+    cfg_s.mode = "imaging_mono"
+    cfg_s.npix = 15
+    cfg_s.stellar_direction = True
+    cfg_s.theta_star = PI / 2
+    cfg_s.phi_star = PI / 2
+    det_s, res_s = runner.run_imaging_mono(atm, cfg_s, packages=30000, seed=4,
+                                           batch_size=30000)
+    flux_ratio = img.sum() / res_s.detector[..., 0, 0].sum()
+    assert flux_ratio == pytest.approx(1.0 / 0.7, rel=0.1)
 
 
 def test_thermal_biased_emission_unbiased_estimator():

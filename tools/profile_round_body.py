@@ -1,4 +1,5 @@
 """Fetch-timed micro-profile of the scatter-round body pieces at B lanes."""
+import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import jax
 import jax.numpy as jnp
@@ -91,14 +92,15 @@ tf("splat(4-stokes)", jax.jit(lambda d, p, s, m: _splat(d, p, s, m)), detector, 
 
 # march (merged peel)
 tau = -jnp.log(1.0 - u1)
+ctr = jnp.full((B,), 5, jnp.uint32)
 tf("march(merged)", jax.jit(lambda p, d, c, f, s, ta, a: _march(
-    t, static, keys, jnp.uint32(5), p, d, c, f, s, ta, a,
+    t, static, keys, ctr, p, d, c, f, s, ta, a,
     detector, None, None, merged_peel=True)[0]["pos"]),
    pos, dir_new, cell, face, stokes, tau, alive)
 
 # march unmerged
 tf("march(plain)", jax.jit(lambda p, d, c, f, s, ta, a: _march(
-    t, static, keys, jnp.uint32(5), p, d, c, f, s, ta, a,
+    t, static, keys, ctr, p, d, c, f, s, ta, a,
     detector)[0]["pos"]),
    pos, dir_new, cell, face, stokes, tau, alive)
 

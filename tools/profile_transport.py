@@ -1,4 +1,5 @@
 """Fetch-synchronized timing of the real transport kernel."""
+import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys, time
 import jax
 import jax.numpy as jnp
@@ -7,7 +8,7 @@ import numpy as np
 from artes_tpu import presets
 from artes_tpu.config import ArtesConfig, detector_setup
 from artes_tpu.runner import _kernel_static
-from artes_tpu.transport.kernel import run_batch, start_batch, scatter_phase
+from artes_tpu.transport.kernel import run_batch, run_stream
 from artes_tpu.transport.tables import build_tables
 
 dtype = jnp.float32
@@ -46,5 +47,14 @@ for B in (65536, 262144, 1048576):
     for n in (1, 4):
         dt = fetch_time(thunk, n)
         eff = dt - RTT
-        print("run_batch B=%-8d n=%d  wall=%7.1f ms  eff=%7.1f ms  -> %.3g photons/s"
+        print("run_batch  B=%-8d n=%d  wall=%7.1f ms  eff=%7.1f ms  -> %.3g photons/s"
               % (B, n, 1e3 * dt, 1e3 * eff, n * B / eff))
+
+for W in (131072, 262144):
+    for N in (1 << 20,):
+        thunk = lambda i: run_stream(t, static, N, jnp.uint32(100 + i), W)
+        _ = fetch_time(thunk, 1)  # warm/compile
+        dt = fetch_time(thunk, 1)
+        eff = dt - RTT
+        print("run_stream W=%-8d N=%d  wall=%7.1f ms  eff=%7.1f ms  -> %.3g photons/s"
+              % (W, N, 1e3 * dt, 1e3 * eff, N / eff))
