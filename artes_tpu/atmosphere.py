@@ -228,6 +228,14 @@ def build_atmosphere(directory, normalize_opacities: bool = True) -> Atmosphere:
         rr = _parse_list(parser.get("grid", "radial", fallback=""))
         radial = np.array([0.0] + [float(v) * 1.0e3 for v in rr])  # [km]->[m]
     radial = radial + r_planet
+    if np.any(np.diff(radial) <= 0.0):
+        # a zero-thickness cell makes adjacent radial faces coincide, which
+        # degenerates the traversal geometry (the reference would silently
+        # build it and error photon-by-photon at run time)
+        raise ValueError(
+            "grid:radial faces must be strictly increasing; got "
+            + ", ".join(f"{v:.6g}" for v in (radial - r_planet) / 1.0e3)
+            + " km")
     nr = len(radial) - 1  # number of cells
 
     tt = _parse_list(parser.get("grid", "theta", fallback=""))

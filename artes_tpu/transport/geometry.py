@@ -66,7 +66,7 @@ def small_gather(table, idx):
                       "theta_above", "phi_sin", "phi_cos", "r_pair",
                       "theta_combo", "phi_combo"],
          meta_fields=["nr", "ntheta", "nphi", "ob_ax", "ob_by", "ob_cz",
-                      "pos_eps", "same_eps", "sel1", "sel2"])
+                      "pos_eps", "same_eps", "sel1", "sel2", "boundary_tol"])
 @dataclasses.dataclass
 class GridGeometry:
     """Device-resident grid tables (lengths scaled by the outer radius)."""
@@ -93,6 +93,7 @@ class GridGeometry:
     same_eps: float              # same-face root threshold (ref: 1e-3 m)
     sel1: float                  # primary selection tier (ref: 1e-9 m)
     sel2: float                  # fallback selection tier (ref: 1e-12 m)
+    boundary_tol: float          # no-candidate boundary-rescue tolerance
 
 
 def make_grid_geometry(atm, oblateness=0.0, dtype=jnp.float64) -> tuple[GridGeometry, float]:
@@ -138,6 +139,7 @@ def make_grid_geometry(atm, oblateness=0.0, dtype=jnp.float64) -> tuple[GridGeom
         same_eps=(1.0e-3 / r_scale) if f64 else max(1.0e-3 / r_scale, 3.0e-6),
         sel1=(1.0e-9 / r_scale) if f64 else max(1.0e-9 / r_scale, 1.0e-6),
         sel2=(1.0e-12 / r_scale) if f64 else max(1.0e-12 / r_scale, 1.0e-7),
+        boundary_tol=1.0e-12 if f64 else 4.0e-7,
     )
     return grid, r_scale
 
@@ -335,17 +337,42 @@ def cell_face(g: GridGeometry, pos, dirn, cell, cur_face, cell_depth):
     use_fallback = dist1 >= BIG
     best = jnp.where(use_fallback, best2, best1)
     distance = jnp.where(use_fallback, dist2, dist1)
-    error = distance >= BIG  # no candidate found (error 031)
-    distance = jnp.where(error, 0.0, distance)
+    no_candidate = distance >= BIG  # no candidate found (error 031)
+    distance = jnp.where(no_candidate, 0.0, distance)
+
+    # No-candidate rescue: float32 roundoff can land an interaction point
+    # bitwise ON (or epsilon past) a radial boundary, where the sphere
+    # quadratic sees qc >= 0 and yields no root even though the photon is
+    # physically crossing. The reference never hits this in float64 (it
+    # aborts the photon as error 031, ARTES.f90:3397-3416); at f32 the rate
+    # is ~3e-4/interaction on thin shells, so boundary-pinned lanes are
+    # resolved by position instead: on/over the outer face moving outward ->
+    # grid exit; on/under the photon-floor face moving inward -> surface hit.
+    a, b, c = g.ob_ax, g.ob_by, g.ob_cz
+    px, py, pz = pos[..., 0], pos[..., 1], pos[..., 2]
+    nx_, ny_, nz_ = dirn[..., 0], dirn[..., 1], dirn[..., 2]
+    rho2 = a * a * px * px + b * b * py * py + c * c * pz * pz
+    rad_dot = a * a * px * nx_ + b * b * py * ny_ + c * c * pz * nz_
+    tol = jnp.asarray(g.boundary_tol, dt)
+    r_outer = g.rfront[g.nr]
+    on_outer = no_candidate & (rho2 >= (r_outer * (1.0 - tol)) ** 2) & (rad_dot > 0.0)
+    r_floor = g.rfront[cell_depth]
+    on_floor = no_candidate & ~on_outer & (rho2 <= (r_floor * (1.0 + tol)) ** 2) \
+        & (rad_dot < 0.0) & (cr == cell_depth)
+    rescued = on_outer | on_floor
+    error = no_candidate & ~rescued
 
     # one-hot row selects instead of take_along_axis (same 16x reason)
     slot = jax.lax.broadcasted_iota(jnp.int32, dists.shape, dists.ndim - 1)
     sel = slot == best[..., None]
     next_axis = jnp.sum(jnp.where(sel, axes, 0), axis=-1, dtype=jnp.int32)
     next_idx = jnp.sum(jnp.where(sel, faces, 0), axis=-1, dtype=jnp.int32)
+    next_axis = jnp.where(rescued, 1, next_axis)
+    next_idx = jnp.where(on_outer, g.nr,
+                         jnp.where(on_floor, cell_depth, next_idx))
 
     # ---- next cell (ARTES.f90:2671-2798) ----
-    outward = best >= 3
+    outward = jnp.where(rescued, on_outer, best >= 3)
     cr_out = jnp.where(next_axis == 1, jnp.where(outward, cr + 1, cr - 1), cr)
     ct_out = jnp.where(next_axis == 2, jnp.where(outward, ct + 1, ct - 1), ct)
     cp_next = jnp.where(outward, cp + 1, cp - 1)

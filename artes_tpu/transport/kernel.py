@@ -247,19 +247,23 @@ def _peel_photon_prep(t, static, pos, dirn, cell, stokes):
     mu = jnp.clip(mu, -1.0 + eps, 1.0 - eps)
     scatter = S.matrix_at_angle(t.scatter_rows, flat_cell(t.grid, cell), jnp.arccos(mu))
 
-    # azimuth of the detector-pointing scatter (ARTES.f90:4864-4916)
+    # azimuth of the detector-pointing scatter (ARTES.f90:4864-4916), all in
+    # cos space: cos(phi_sc) from the spherical cosine rule; the half-plane
+    # branch mod(phi_old - phi_new, 2 pi) < pi reduces to the sign of the
+    # cross product d x det in the xy-plane (sin(phi_old - phi_new) > 0)
     dz = dirn[..., 2]
-    phi_old = jnp.mod(jnp.arctan2(dirn[..., 1], dirn[..., 0]), TWO_PI)
-    phi_new = jnp.mod(jnp.arctan2(t.det_dir[1], t.det_dir[0]), TWO_PI)
     denom = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0)) * jnp.sqrt(jnp.maximum(1.0 - dz * dz, 0.0))
     num = (t.det_dir[2] - dz * mu) / jnp.where(denom == 0.0, 1.0, denom)
-    phi_sc = jnp.arccos(jnp.clip(num, -1.0 + eps, 1.0 - eps))
-    flip = jnp.mod(phi_old - phi_new, TWO_PI) < PI
-    phi_sc = jnp.where(flip, TWO_PI - phi_sc, phi_sc)
+    cphi = jnp.clip(num, -1.0 + eps, 1.0 - eps)
+    flip = (dirn[..., 1] * t.det_dir[0] - dirn[..., 0] * t.det_dir[1]) > 0.0
+    sign = jnp.where(flip, -1.0, 1.0)
+    c2b = 2.0 * cphi * cphi - 1.0
+    s2b = 2.0 * cphi * jnp.sqrt(jnp.maximum(1.0 - cphi * cphi, 0.0)) * sign
 
-    stokes_out = M.polarization_rotation(mu, phi_sc, stokes, scatter, dirn,
+    stokes_out = M.polarization_rotation(mu, None, stokes, scatter, dirn,
                                          jnp.broadcast_to(t.det_dir, dirn.shape),
-                                         peeling=True)
+                                         peeling=True, beta_trig=(c2b, s2b),
+                                         beta_sign=sign)
     # detector Q sign flip (ARTES.f90:4956)
     contrib = stokes_out * jnp.asarray([1.0, -1.0, 1.0, 1.0], stokes.dtype)
     pix = _pixel_index(t, static, pos)
@@ -773,12 +777,14 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
                 t, static, c["pos"], c["dirn"], c["cell"], stokes)
 
             # sample scattering angles (:819 -> 1534-1661)
-            beta = S.sample_beta(G.small_gather(t.p_int, cf), stokes, u1, u2)
-            alpha = S.sample_alpha_fused(t.alpha_prefix, cf, stokes, beta, u3)
+            beta, c2b, s2b = S.sample_beta(G.small_gather(t.p_int, cf), stokes, u1, u2)
+            alpha, alpha_deg = S.sample_alpha_fused(t.alpha_prefix, cf, stokes,
+                                                    (c2b, s2b), u3)
             dir_new = M.direction_cosine(alpha, beta, c["dirn"])
-            scatter = S.matrix_at_angle(t.scatter_rows, cf, jnp.arccos(alpha))
+            scatter = S.matrix_at_angle_deg(t.scatter_rows, cf, alpha_deg)
             stokes_new = M.polarization_rotation(alpha, beta, stokes, scatter,
-                                                 c["dirn"], dir_new, peeling=False)
+                                                 c["dirn"], dir_new, peeling=False,
+                                                 beta_trig=(c2b, s2b))
             stokes = jnp.where(alive[..., None], stokes_new, stokes)
             dirn = jnp.where(alive[..., None], dir_new, c["dirn"])
 
@@ -981,12 +987,14 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         # ---- LIVE: detector peel prep + scattering (:815-843) ----
         peel_contrib, peel_pix = _peel_photon_prep(t, static, pos, dirn, cell, stokes)
         u1, u2, u3 = d1, d2, d3
-        beta = S.sample_beta(G.small_gather(t.p_int, cf), stokes, u1, u2)
-        alpha = S.sample_alpha_fused(t.alpha_prefix, cf, stokes, beta, u3)
+        beta, c2b, s2b = S.sample_beta(G.small_gather(t.p_int, cf), stokes, u1, u2)
+        alpha, alpha_deg = S.sample_alpha_fused(t.alpha_prefix, cf, stokes,
+                                                (c2b, s2b), u3)
         dir_new = M.direction_cosine(alpha, beta, dirn)
-        scat_m = S.matrix_at_angle(t.scatter_rows, cf, jnp.arccos(alpha))
+        scat_m = S.matrix_at_angle_deg(t.scatter_rows, cf, alpha_deg)
         stokes_new = M.polarization_rotation(alpha, beta, stokes, scat_m,
-                                             dirn, dir_new, peeling=False)
+                                             dirn, dir_new, peeling=False,
+                                             beta_trig=(c2b, s2b))
         lsv = live_surv[:, None]
         stokes = jnp.where(lsv, stokes_new, stokes)
         dirn_t = jnp.where(lsv, dir_new, dirn)

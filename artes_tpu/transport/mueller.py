@@ -7,6 +7,13 @@ The two renormalisations — polarized-intensity conservation across each
 rotation and total-intensity conservation across the scattering matrix (for
 propagation, not peeling) — are kept exactly, since output parity is judged
 on Stokes vectors.
+
+The reference works in angles (arccos/arctan2 per event). Here every
+rotation consumes (cos 2psi, sin 2psi) built algebraically: the spherical
+cosine rule yields cos(beta2) directly, double-angle identities give the
+Mueller-block entries, and the new propagation direction comes from a local
+orthonormal basis instead of spherical angles — the only transcendentals per
+scattering are one sincos(beta).
 """
 
 from __future__ import annotations
@@ -16,15 +23,10 @@ import jax.numpy as jnp
 TWO_PI = 2.0 * jnp.pi
 
 
-def mueller_rotate(stokes, psi):
-    """Rotate (Q,U) by the 2x2 Mueller block L(psi) and renormalise.
-
-    The reference builds c2p = cos(2 psi) and s2p = +/-sqrt(1-c2p^2) with sign
-    logic that reproduces sin(2 psi) exactly (ARTES.f90:1942-1953), then
-    rescales (Q,U,V) so the polarized intensity is unchanged (:1762-1781).
-    """
-    c2p = jnp.cos(2.0 * psi)
-    s2p = jnp.sin(2.0 * psi)
+def mueller_rotate_cs(stokes, c2p, s2p):
+    """Rotate (Q,U) by the 2x2 Mueller block L(psi) given (cos 2psi, sin 2psi)
+    and renormalise so the polarized intensity is unchanged
+    (ARTES.f90:1762-1781, :1942-1953)."""
     i, q, u, v = stokes[..., 0], stokes[..., 1], stokes[..., 2], stokes[..., 3]
     q_new = c2p * q + s2p * u
     u_new = -s2p * q + c2p * u
@@ -34,30 +36,50 @@ def mueller_rotate(stokes, psi):
     return jnp.stack([i, q_new * norm, u_new * norm, v * norm], axis=-1)
 
 
+def mueller_rotate(stokes, psi):
+    """:func:`mueller_rotate_cs` for an angle psi."""
+    return mueller_rotate_cs(stokes, jnp.cos(2.0 * psi), jnp.sin(2.0 * psi))
+
+
 def apply_scatter(scatter, stokes):
     """(..., 4, 4) @ (..., 4)."""
     return jnp.einsum("...ij,...j->...i", scatter, stokes)
 
 
-def polarization_rotation(alpha, beta, stokes, scatter, dirn, dirn_new, peeling: bool):
+def _cos_to_double_angle(cpsi, sign_sin):
+    """(cos 2psi, sin 2psi) from cos(psi) in [-1, 1] and the sign of
+    sin(psi) (psi in [0, pi] has sin >= 0; ``sign_sin`` = -1 mirrors it)."""
+    c2 = 2.0 * cpsi * cpsi - 1.0
+    s2 = 2.0 * cpsi * jnp.sqrt(jnp.maximum(1.0 - cpsi * cpsi, 0.0)) * sign_sin
+    return c2, s2
+
+
+def polarization_rotation(alpha, beta, stokes, scatter, dirn, dirn_new,
+                          peeling: bool, beta_trig=None, beta_sign=None):
     """Meridian -> scattering plane -> meridian Stokes update.
 
     ``alpha`` is cos of the scattering angle, ``beta`` the azimuthal scattering
-    angle in [0, 2 pi). ``scatter`` is the (..., 4, 4) matrix interpolated at
+    angle in [0, 2 pi); ``beta_trig`` optionally carries (cos 2beta, sin 2beta)
+    from the sampler. ``scatter`` is the (..., 4, 4) matrix interpolated at
     the scattering angle. Assumes |alpha| < 1 (samplers clip); the reference's
     exact-forward/backward edge branches (:1856-1920) are unreachable then.
     """
-    # beta2 from the spherical cosine rule (ARTES.f90:1728-1751)
+    # cos(beta2) from the spherical cosine rule (ARTES.f90:1728-1751)
     dz = dirn[..., 2]
     dzn = dirn_new[..., 2]
     salpha = jnp.sqrt(jnp.maximum(1.0 - alpha * alpha, 0.0))
     szn = jnp.sqrt(jnp.maximum(1.0 - dzn * dzn, 0.0))
     denom = salpha * szn
-    num = (dz - dzn * alpha) / jnp.where(denom == 0.0, 1.0, denom)
-    beta2 = jnp.arccos(jnp.clip(num, -1.0, 1.0))
+    cbeta2 = jnp.clip((dz - dzn * alpha) / jnp.where(denom == 0.0, 1.0, denom),
+                      -1.0, 1.0)
+    cbeta2 = jnp.where(denom == 0.0, 1.0, cbeta2)
 
+    if beta_trig is None:
+        c2b, s2b = jnp.cos(2.0 * beta), jnp.sin(2.0 * beta)
+    else:
+        c2b, s2b = beta_trig
     # rotate meridian -> scattering plane by beta (:1753-1781)
-    stokes_rot = mueller_rotate(stokes, beta)
+    stokes_rot = mueller_rotate_cs(stokes, c2b, s2b)
     # apply the 4x4 scattering matrix (:1783-1795)
     stokes_sc = apply_scatter(scatter, stokes_rot)
     if not peeling:
@@ -67,33 +89,43 @@ def polarization_rotation(alpha, beta, stokes, scatter, dirn, dirn_new, peeling:
         stokes_sc = stokes_sc * norm[..., None]
     # rotate back into the meridian plane; for beta in [pi, 2 pi) the second
     # rotation angle flips sign (:1816-1826)
-    psi2 = jnp.where(beta < jnp.pi, beta2, -beta2)
-    return mueller_rotate(stokes_sc, psi2)
+    if beta_sign is None:
+        beta_sign = jnp.where(beta < jnp.pi, 1.0, -1.0)
+    c2p2, s2p2 = _cos_to_double_angle(cbeta2, beta_sign)
+    return mueller_rotate_cs(stokes_sc, c2p2, s2p2)
 
 
 def direction_cosine(alpha, beta, dirn):
-    """New propagation direction from (alpha, beta) via the spherical cosine
-    rule (ARTES.f90:1962-2052)."""
+    """New propagation direction from (alpha, beta): rotate by the scattering
+    angle around the meridian-frame basis (the angle-free re-derivation of
+    ARTES.f90:1962-2052; beta is measured from the meridian plane, increasing
+    azimuth for beta < pi, matching the reference's quadrant logic)."""
     dx, dy, dz = dirn[..., 0], dirn[..., 1], dirn[..., 2]
-    cto = dz  # direction is unit-norm
-    sto = jnp.sqrt(jnp.maximum(1.0 - cto * cto, 0.0))
-    phi_old = jnp.arctan2(dy, dx)
-    phi_old = jnp.where(phi_old < 0.0, phi_old + TWO_PI, phi_old)
+    sto2 = jnp.maximum(1.0 - dz * dz, 0.0)
+    sto = jnp.sqrt(sto2)
+    degen = sto < 1.0e-12
+    inv = 1.0 / jnp.where(degen, 1.0, sto)
+    # meridian basis: e1 points along decreasing polar angle, e2 = e1 x d
+    e1x = jnp.where(degen, 1.0, -dz * dx * inv)
+    e1y = jnp.where(degen, 0.0, -dz * dy * inv)
+    e1z = jnp.where(degen, 0.0, sto)
+    e2x = jnp.where(degen, 0.0, -dy * inv)
+    e2y = jnp.where(degen, -dz, dx * inv)
+    e2z = jnp.zeros_like(dz)
 
-    # cos(2 pi - beta) == cos(beta): one formula covers both branches (:1979-1985)
     salpha = jnp.sqrt(jnp.maximum(1.0 - alpha * alpha, 0.0))
-    ctn = cto * alpha + sto * salpha * jnp.cos(beta)
-    ctn = jnp.clip(ctn, -1.0, 1.0)
-    stn = jnp.sqrt(jnp.maximum(1.0 - ctn * ctn, 0.0))
-
-    denom = stn * sto
-    num = (alpha - ctn * cto) / jnp.where(denom == 0.0, 1.0, denom)
-    num = jnp.clip(num, -1.0 + 1.0e-10, 1.0 - 1.0e-10)  # (:2001-2005)
-    dphi = jnp.arccos(num)
-    phi_new = jnp.where(beta < jnp.pi, phi_old + dphi, phi_old - dphi)
-    phi_new = jnp.mod(phi_new, TWO_PI)
-
-    return jnp.stack([stn * jnp.cos(phi_new), stn * jnp.sin(phi_new), ctn], axis=-1)
+    cb = jnp.cos(beta)
+    sb = jnp.sin(beta)
+    wx = salpha * (cb * e1x + sb * e2x)
+    wy = salpha * (cb * e1y + sb * e2y)
+    wz = salpha * (cb * e1z + sb * e2z)
+    nx = alpha * dx + wx
+    ny = alpha * dy + wy
+    nz = alpha * dz + wz
+    # keep the direction unit-length against float drift (the reference flags
+    # non-unit directions as error 054, ARTES.f90:1257-1264)
+    inv_norm = 1.0 / jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    return jnp.stack([nx * inv_norm, ny * inv_norm, nz * inv_norm], axis=-1)
 
 
 def rotation_matrix(axis: int, angle):

@@ -2,15 +2,25 @@
 
 The reference builds a 180-bin CDF per scattering event with a serial loop and
 inverts it by linear scan (``scattering_angle_sampling`` ARTES.f90:1534-1661).
-Here the CDFs are closed-form combinations of *precomputed prefix-sum tables*
-(per cell for the scattering angle, global trig tables for the azimuth), so a
-batched event needs only a handful of gathers and a fixed 8-step binary
-search — no per-event cumsum, no scan (the transformation called for in
-SURVEY.md section 7.2).
+The TPU re-design replaces both scans:
 
-Conventions follow the reference exactly: 180 one-degree bins, bin-averaged
-``sinbeta``/``cos2beta``/``sin2beta`` weights (ARTES.f90:404-420), inverse-CDF
-linear interpolation inside the bin, the beta half-plane flip, and the
+* **Azimuth** (``sample_beta``): the reference's prefix sums of *bin-averaged*
+  cos2beta/sin2beta telescope to the exact continuous integrals, so the
+  discrete 181-edge CDF equals ``F(beta) = a*beta + b*sin(2 beta)/2 +
+  c*(1-cos(2 beta))/2`` at every edge. F is inverted directly with a
+  safeguarded (bracketed) Newton iteration — ~6 sincos evaluations per event
+  instead of a materialized (B, 181) table. The sampled azimuth is the exact
+  continuous inverse rather than the reference's within-bin linear
+  interpolation (a strictly finer approximation of the same density).
+* **Scattering angle** (``sample_alpha_fused``): the tabulated 180-bin CDF is
+  inverted hierarchically — 15 coarse blocks of 12 bins — so an event touches
+  16 + 13 CDF edges instead of 181. The edge values are the same prefix-table
+  dot products the flat scan would compare, so the selected bin is identical
+  (up to float ties in zero-density bins). Small grids fold the cell choice
+  into the weights (one-hot MXU contractions, no per-lane gathers).
+
+Conventions follow the reference: 180 one-degree bins, inverse-CDF linear
+interpolation inside the bin, the beta half-plane flip, and the
 half-degree-centred matrix interpolation of ``scatter_photon``
 (ARTES.f90:1448-1530).
 """
@@ -21,14 +31,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from artes_tpu.atmosphere import COS2BETA, SIN2BETA, SINBETA
-
 N_ANGLE = 180
+N_COARSE = 15          # coarse blocks in the hierarchical alpha inversion
+N_FINE = 12            # bins per coarse block (N_COARSE * N_FINE == N_ANGLE)
 _DEG = np.pi / 180.0
 
-# Global prefix tables (181,): index i holds sum over bins 1..i.
-C2B_PREFIX = np.concatenate([[0.0], np.cumsum(COS2BETA)])
-S2B_PREFIX = np.concatenate([[0.0], np.cumsum(SIN2BETA)])
+# Up to this many cells the per-event CDF rows are selected by folding a cell
+# one-hot into the Stokes weights (pure MXU work); above it the kernel falls
+# back to per-lane row gathers.
+ALPHA_FUSED_NCELL_LIMIT = 32
+
+_NEWTON_ITERS = 3
+_N_BETA_COARSE = 16
+# Continuous-CDF basis at the coarse azimuth edges j*pi/16: F(beta) =
+# a*beta + b*sin(2 beta)/2 + c*(1 - cos(2 beta))/2 evaluated via constants.
+_BETA_EDGES = np.linspace(0.0, np.pi, _N_BETA_COARSE + 1)
+_BETA_BASIS = np.stack([_BETA_EDGES,
+                        0.5 * np.sin(2.0 * _BETA_EDGES),
+                        0.5 * (1.0 - np.cos(2.0 * _BETA_EDGES))])  # (3, 17)
 
 
 def build_alpha_prefix(scatter_cell):
@@ -38,6 +58,8 @@ def build_alpha_prefix(scatter_cell):
     (..., 4, 181): prefix sums over bins of P1k(i) * sinbeta(i) * pi/180
     (the weights of ARTES.f90:1610-1623).
     """
+    from artes_tpu.atmosphere import SINBETA
+
     w = SINBETA * _DEG  # (180,)
     weighted = scatter_cell[..., :4] * w[..., :, None]      # (..., 180, 4)
     prefix = np.cumsum(weighted, axis=-2)                    # (..., 180, 4)
@@ -45,150 +67,165 @@ def build_alpha_prefix(scatter_cell):
     return np.concatenate([zeros, prefix], axis=-2).swapaxes(-1, -2)  # (...,4,181)
 
 
-def _invert_materialized(cum, target):
-    """Invert a batched monotone CDF given at all 181 edges.
+def alpha_tables(alpha_prefix_all):
+    """Hierarchical views of the (ncell, 4, 181) prefix table.
 
-    ``cum``: (B, 181) with cum[:, 0] = 0. Finds the first k in [1, 180] with
-    cum(k) >= target (the reference's linear scan, ARTES.f90:1565-1587) using
-    a vectorized count + two masked reductions — no gathers, so it maps to
-    pure VPU work on TPU.
-    Returns (k, cum_lo, cum_hi).
+    Returns ``(coarse, fine)``: coarse (ncell, 4, 16) holds the prefix at
+    every 12th edge; fine (ncell, 15, 4, 13) holds the 13 edges of each
+    coarse block (the last edge of block b is the first of block b+1). Pure
+    slicing — XLA hoists it out of transport loops.
     """
-    below = (cum[..., 1:-1] < target[..., None])
-    k = 1 + jnp.sum(below, axis=-1).astype(jnp.int32)
-    edges = jax.lax.broadcasted_iota(jnp.int32, cum.shape, len(cum.shape) - 1)
-    sel_lo = edges == (k - 1)[..., None]
-    sel_hi = edges == k[..., None]
-    cum_lo = jnp.sum(jnp.where(sel_lo, cum, 0.0), axis=-1)
-    cum_hi = jnp.sum(jnp.where(sel_hi, cum, 0.0), axis=-1)
-    return k, cum_lo, cum_hi
+    nc = alpha_prefix_all.shape[0]
+    coarse = alpha_prefix_all[:, :, ::N_FINE]                     # (nc, 4, 16)
+    body = alpha_prefix_all[:, :, :N_ANGLE].reshape(nc, 4, N_COARSE, N_FINE)
+    last = alpha_prefix_all[:, :, N_FINE::N_FINE].reshape(nc, 4, N_COARSE, 1)
+    fine = jnp.concatenate([body, last], axis=-1)                 # (nc,4,15,13)
+    return coarse, jnp.swapaxes(fine, 1, 2)                       # (nc,15,4,13)
 
 
 def sample_beta(p_int, stokes, u1, u2):
-    """Azimuthal scattering angle from the P11..P14 integral CDF
-    (ARTES.f90:1545-1593).
+    """Azimuthal scattering angle from the continuous Stokes-weighted CDF
+    (the exact integral of the reference's binned density, ARTES.f90:1545-1593).
 
     ``p_int``: (B, 4) gathered per-cell [P11,P12,P13,P14] angular integrals.
-    Returns beta in (0, 2 pi).
+    Returns ``(beta, cos_2beta, sin_2beta)`` with beta in (0, 2 pi); the 2-beta
+    trig (invariant under the half-plane mirror) is returned for reuse by the
+    alpha weights.
     """
     dt = stokes.dtype
     i, q, u, v = stokes[..., 0], stokes[..., 1], stokes[..., 2], stokes[..., 3]
     p11, p12, p13, p14 = p_int[..., 0], p_int[..., 1], p_int[..., 2], p_int[..., 3]
-    # intensity(j) = a + b*cos2beta_j + c*sin2beta_j
+    # density(beta) propto a + b*cos(2 beta) + c*sin(2 beta) on [0, pi)
     a = p11 * i + p14 * v
     b = p12 * q + p13 * u
     c = p12 * u - p13 * q
-    c2b = jnp.asarray(C2B_PREFIX, dt)
-    s2b = jnp.asarray(S2B_PREFIX, dt)
-    j = jnp.arange(N_ANGLE + 1, dtype=dt)
-    cum = a[..., None] * j + b[..., None] * c2b + c[..., None] * s2b  # (B, 181)
 
-    target = u1 * cum[..., -1]
-    k, cum_lo, cum_hi = _invert_materialized(cum, target)
+    pi_ = jnp.asarray(np.pi, dt)
+    a_safe = jnp.where(a == 0.0, 1.0, a)
+    target = u1 * a * pi_  # F(pi) = a*pi exactly
+    # Stage 1: bracket the root between coarse edges j*pi/16 — F at all 17
+    # edges is one (B,3) @ (3,17) contraction against precomputed trig.
+    cum = jnp.einsum("bk,kj->bj", jnp.stack([a, b, c], axis=-1),
+                     jnp.asarray(_BETA_BASIS, dt), preferred_element_type=dt)
+    k = _edge_count(cum, target, 1, _N_BETA_COARSE)     # block in [0, 15]
+    cum_lo, cum_hi = _pick_edges(cum, k + 1)
+    width = pi_ / _N_BETA_COARSE
+    lo = k.astype(dt) * width
+    hi = lo + width
     dcum = cum_hi - cum_lo
-    frac = (target - cum_lo) / jnp.where(dcum == 0.0, 1.0, dcum)
-    beta_deg = (k - 1).astype(dt) + jnp.where(dcum == 0.0, 0.5, frac)
-    beta = beta_deg * _DEG
-    # mirror to the other half-plane with probability 1/2 (:1589-1590)
-    beta = jnp.where(u2 > 0.5, beta + jnp.pi, beta)
+    # secant initial guess inside the bracket
+    beta = lo + width * jnp.where(dcum > 0.0,
+                                  (target - cum_lo) / jnp.where(dcum == 0.0, 1.0, dcum),
+                                  0.5)
+    # Stage 2: guarded Newton on g(beta) = F(beta) - target, g' = density
+    # >= 0. A step landing outside the bracket (possible where the density
+    # touches zero) falls back to bisection; zero-density plateaus carry zero
+    # probability mass, so the residual bracket there is immaterial.
+    gp_floor = jnp.asarray(1e-12, dt) * jnp.abs(a_safe)
+    for _ in range(_NEWTON_ITERS):
+        s2b = jnp.sin(2.0 * beta)
+        c2b = jnp.cos(2.0 * beta)
+        g = a * beta + 0.5 * b * s2b + 0.5 * c * (1.0 - c2b) - target
+        gp = a + b * c2b + c * s2b
+        lo = jnp.where(g < 0.0, beta, lo)
+        hi = jnp.where(g < 0.0, hi, beta)
+        step = g / jnp.maximum(gp, gp_floor)
+        beta_n = beta - step
+        # strict outside test: a converged step lands ON the bracket edge
+        # (beta_n == hi after hi <- beta) and must be accepted, not bisected
+        bad = (beta_n < lo) | (beta_n > hi) | ~jnp.isfinite(beta_n)
+        beta = jnp.where(bad, 0.5 * (lo + hi), beta_n)
+    c2b = jnp.cos(2.0 * beta)
+    s2b = jnp.sin(2.0 * beta)
+    # mirror to the other half-plane with probability 1/2 (:1589-1590);
+    # cos/sin(2 beta) are invariant under beta -> beta + pi
+    beta = jnp.where(u2 > 0.5, beta + pi_, beta)
     two_pi = 2.0 * jnp.pi
     beta = jnp.where(beta >= two_pi, two_pi - 1.0e-10, beta)
     beta = jnp.where(beta <= 0.0, 1.0e-10, beta)
-    return beta
+    return beta, c2b, s2b
 
 
-def gather_alpha_prefix(alpha_prefix_all, cell_flat, onehot_limit=256):
-    """Per-lane (4, 181) prefix rows from the (ncell, 4, 181) table.
-
-    Small grids go through an exact one-hot MXU contraction (per-lane scalar
-    gathers cost ~1 ms per op at 128k lanes on TPU); large grids fall back to
-    a row gather.
-    """
-    ncell = alpha_prefix_all.shape[0]
-    if ncell <= onehot_limit:
-        oh = jax.nn.one_hot(cell_flat, ncell, dtype=alpha_prefix_all.dtype)
-        flat = alpha_prefix_all.reshape(ncell, -1)
-        rows = jnp.einsum("bc,ck->bk", oh, flat,
-                          preferred_element_type=alpha_prefix_all.dtype)
-        return rows.reshape(cell_flat.shape + (4, N_ANGLE + 1))
-    return alpha_prefix_all[cell_flat]
-
-
-def alpha_weights(stokes, beta):
+def alpha_weights(stokes, c2b, s2b):
     """Stokes/azimuth weights of the conditional alpha CDF: the coefficient
     of each matrix-row prefix (ARTES.f90:1612-1617). Returns (B, 4)."""
     i, q, u, v = stokes[..., 0], stokes[..., 1], stokes[..., 2], stokes[..., 3]
-    c2b = jnp.cos(2.0 * beta)
-    s2b = jnp.sin(2.0 * beta)
     return jnp.stack([i, c2b * q + s2b * u, -s2b * q + c2b * u, v], axis=-1)
 
 
-# With one-hot cell selection folded into the weights, the per-lane CDF is a
-# single (B, 4*ncell) @ (4*ncell, 181) MXU matmul — no (B, 4, 181) per-lane
-# prefix rows ever hit HBM (at 256k lanes those cost ~760 MB per round).
-ALPHA_FUSED_NCELL_LIMIT = 32
+def _edge_count(cum, target, lo, hi):
+    """count of edges j in [lo, hi) with cum[..., j] < target (the
+    vectorized form of the reference's linear scan, ARTES.f90:1565-1587)."""
+    return jnp.sum((cum[..., lo:hi] < target[..., None]), axis=-1).astype(jnp.int32)
 
 
-def alpha_cum(alpha_prefix_all, cell_flat, w):
-    """Per-lane conditional CDF at all 181 edges: (B, 181).
+def _pick_edges(cum, k):
+    """(cum[k-1], cum[k]) via one-hot row selects (no per-lane gathers)."""
+    edges = jax.lax.broadcasted_iota(jnp.int32, cum.shape, cum.ndim - 1)
+    sel_lo = edges == (k - 1)[..., None]
+    sel_hi = edges == k[..., None]
+    cum_lo = jnp.sum(jnp.where(sel_lo, cum, 0.0), axis=-1)
+    cum_hi = jnp.sum(jnp.where(sel_hi, cum, 0.0), axis=-1)
+    return cum_lo, cum_hi
 
-    ``alpha_prefix_all``: (ncell, 4, 181); ``w``: (B, 4) from
-    :func:`alpha_weights`.
+
+def sample_alpha_fused(alpha_prefix_all, cell_flat, stokes, beta_trig, u3):
+    """Scattering-angle cosine from the conditional tabulated CDF
+    (ARTES.f90:1597-1659), inverted hierarchically (15 coarse x 12 fine bins).
+
+    ``beta_trig``: the ``(c2b, s2b)`` pair from :func:`sample_beta`.
+    Returns ``(alpha, alpha_deg)``: the cosine (clipped to (-1, 1)) and the
+    sampled angle in degrees — the latter feeds the matrix interpolation
+    without an arccos.
     """
-    ncell = alpha_prefix_all.shape[0]
-    dt = alpha_prefix_all.dtype
-    if ncell <= ALPHA_FUSED_NCELL_LIMIT:
-        oh = jax.nn.one_hot(cell_flat, ncell, dtype=dt)
-        w2 = (oh[..., None] * w[..., None, :]).reshape(w.shape[0], ncell * 4)
-        flat = alpha_prefix_all.reshape(ncell * 4, N_ANGLE + 1)
-        return jnp.einsum("bk,kj->bj", w2, flat, preferred_element_type=dt)
-    rows = gather_alpha_prefix(alpha_prefix_all, cell_flat)
-    return jnp.einsum("...k,...kj->...j", w, rows)
+    c2b, s2b = beta_trig
+    dt = stokes.dtype
+    w = alpha_weights(stokes, c2b, s2b)                 # (B, 4)
+    nc = alpha_prefix_all.shape[0]
+    coarse, fine = alpha_tables(alpha_prefix_all)
 
+    if nc <= ALPHA_FUSED_NCELL_LIMIT:
+        oh = jax.nn.one_hot(cell_flat, nc, dtype=dt)
+        wf = (oh[..., None] * w[..., None, :]).reshape(w.shape[0], nc * 4)
+        cum_c = jnp.einsum("bk,kj->bj", wf, coarse.reshape(nc * 4, N_COARSE + 1),
+                           preferred_element_type=dt)   # (B, 16)
+        target = u3 * cum_c[..., -1]
+        k1 = _edge_count(cum_c, target, 1, N_COARSE)    # coarse block in [0,14]
+        oh_k1 = jax.nn.one_hot(k1, N_COARSE, dtype=dt)
+        # v layout (block, cell, 4) matches fine swapped to (15, nc, 4, 13)
+        v = (oh_k1[..., :, None] * wf[..., None, :]).reshape(
+            w.shape[0], N_COARSE * nc * 4)
+        fine_mat = jnp.swapaxes(fine, 0, 1).reshape(N_COARSE * nc * 4, N_FINE + 1)
+        cum_f = jnp.einsum("bk,kj->bj", v, fine_mat,
+                           preferred_element_type=dt)   # (B, 13)
+    else:
+        rows_c = coarse[cell_flat]                       # (B, 4, 16) gather
+        cum_c = jnp.einsum("...k,...kj->...j", w, rows_c)
+        target = u3 * cum_c[..., -1]
+        k1 = _edge_count(cum_c, target, 1, N_COARSE)
+        rows_f = fine.reshape(nc * N_COARSE, 4, N_FINE + 1)[cell_flat * N_COARSE + k1]
+        cum_f = jnp.einsum("...k,...kj->...j", w, rows_f)  # (B, 13)
 
-def invert_alpha_cum(cum, u3):
-    """Invert the (B, 181) conditional CDF -> alpha = cos(scattering angle),
-    clipped to (-1, 1) (the scan at ARTES.f90:1625-1659)."""
-    dt = cum.dtype
-    target = u3 * cum[..., -1]
-    k, cum_lo, cum_hi = _invert_materialized(cum, target)
+    k2 = 1 + _edge_count(cum_f, target, 1, N_FINE)      # fine edge in [1,12]
+    cum_lo, cum_hi = _pick_edges(cum_f, k2)
     dcum = cum_hi - cum_lo
     frac = (target - cum_lo) / jnp.where(dcum == 0.0, 1.0, dcum)
-    alpha_deg = (k - 1).astype(dt) + jnp.where(dcum == 0.0, 0.5, frac)
-    alpha = jnp.cos(alpha_deg * _DEG)
+    frac = jnp.where(dcum == 0.0, 0.5, frac)
+    alpha_deg = (k1 * N_FINE + k2 - 1).astype(dt) + frac
     eps = 1.0e-10
-    return jnp.clip(alpha, -1.0 + eps, 1.0 - eps)
+    alpha = jnp.clip(jnp.cos(alpha_deg * _DEG), -1.0 + eps, 1.0 - eps)
+    return alpha, alpha_deg
 
 
-def sample_alpha(alpha_prefix, stokes, beta, u3):
-    """Scattering-angle cosine from the conditional CDF (ARTES.f90:1597-1659).
+def matrix_at_angle_deg(scatter_rows, cell_flat, angle_deg):
+    """Interpolate the 16-element matrix at a scattering angle given in
+    degrees. Bins are centred at (i - 0.5) degrees (ARTES.f90:1506-1509):
+    linear interpolation between adjacent rows, clamped at the first/last bin.
 
-    ``alpha_prefix``: (B, 4, 181) per-lane prefix tables (see
-    :func:`gather_alpha_prefix`). Returns alpha = cos(scattering angle),
-    clipped to (-1, 1).
+    ``scatter_rows``: (ncell * 180, 16) flattened per-cell matrices.
     """
-    w = alpha_weights(stokes, beta)
-    cum = jnp.einsum("...k,...kj->...j", w, alpha_prefix)  # (B, 181)
-    return invert_alpha_cum(cum, u3)
-
-
-def sample_alpha_fused(alpha_prefix_all, cell_flat, stokes, beta, u3):
-    """sample_alpha without materializing per-lane prefix rows."""
-    w = alpha_weights(stokes, beta)
-    return invert_alpha_cum(alpha_cum(alpha_prefix_all, cell_flat, w), u3)
-
-
-def matrix_at_angle(scatter_rows, cell_flat, acos_alpha):
-    """Interpolate the 16-element matrix at a scattering angle.
-
-    ``scatter_rows``: (ncell * 180, 16) flattened per-cell matrices;
-    ``cell_flat``: (B,) flat cell indices; ``acos_alpha``: (B,) angle [rad].
-    Bins are centred at (i - 0.5) degrees (ARTES.f90:1506-1509): linear
-    interpolation between adjacent rows, clamped at the first/last bin.
-    """
-    dt = acos_alpha.dtype
-    ad = acos_alpha / _DEG  # degrees
-    t = ad - 0.5
+    dt = angle_deg.dtype
+    t = angle_deg - 0.5
     r0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, N_ANGLE - 2)
     frac = jnp.clip(t - r0.astype(dt), 0.0, 1.0)
     base = cell_flat * N_ANGLE
@@ -196,3 +233,8 @@ def matrix_at_angle(scatter_rows, cell_flat, acos_alpha):
     row1 = scatter_rows[base + r0 + 1]
     m = row0 + (row1 - row0) * frac[..., None]
     return m.reshape(m.shape[:-1] + (4, 4))
+
+
+def matrix_at_angle(scatter_rows, cell_flat, acos_alpha):
+    """:func:`matrix_at_angle_deg` for an angle in radians."""
+    return matrix_at_angle_deg(scatter_rows, cell_flat, acos_alpha / _DEG)

@@ -39,10 +39,15 @@ def test_alpha_distribution_unpolarized(generator, kwargs):
     n = 200_000
     rng = np.random.default_rng(1)
     stokes = jnp.asarray(np.tile([1.0, 0.0, 0.0, 0.0], (n, 1)))
-    beta = S.sample_beta(jnp.asarray(np.tile(p_int, (n, 1))), stokes,
-                         jnp.asarray(rng.uniform(size=n)), jnp.asarray(rng.uniform(size=n)))
-    alpha = S.sample_alpha(jnp.asarray(np.tile(prefix[0], (n, 1, 1))), stokes,
-                           beta, jnp.asarray(rng.uniform(size=n)))
+    beta, c2b, s2b = S.sample_beta(
+        jnp.asarray(np.tile(p_int, (n, 1))), stokes,
+        jnp.asarray(rng.uniform(size=n)), jnp.asarray(rng.uniform(size=n)))
+    alpha, alpha_deg = S.sample_alpha_fused(
+        jnp.asarray(prefix), jnp.zeros(n, jnp.int32), stokes,
+        (c2b, s2b), jnp.asarray(rng.uniform(size=n)))
+    np.testing.assert_allclose(np.asarray(alpha),
+                               np.cos(np.deg2rad(np.asarray(alpha_deg))),
+                               rtol=0, atol=1e-9)
     ang = np.degrees(np.arccos(np.asarray(alpha)))
     hist, _ = np.histogram(ang, bins=np.arange(181))
     expected = tab.scatter[:, 0, 0] * SINBETA
@@ -61,7 +66,7 @@ def test_beta_uniform_for_unpolarized():
     stokes = jnp.asarray(np.tile([1.0, 0.0, 0.0, 0.0], (n, 1)))
     beta = np.asarray(S.sample_beta(
         jnp.asarray(np.tile(p_int, (n, 1))), stokes,
-        jnp.asarray(rng.uniform(size=n)), jnp.asarray(rng.uniform(size=n))))
+        jnp.asarray(rng.uniform(size=n)), jnp.asarray(rng.uniform(size=n)))[0])
     hist, _ = np.histogram(beta, bins=np.linspace(0, 2 * np.pi, 19))
     np.testing.assert_allclose(hist / n, 1 / 18, rtol=0.06)
 
@@ -76,13 +81,63 @@ def test_beta_modulated_for_polarized():
     stokes = jnp.asarray(np.tile([1.0, 1.0, 0.0, 0.0], (n, 1)))
     beta = np.asarray(S.sample_beta(
         jnp.asarray(np.tile(p_int, (n, 1))), stokes,
-        jnp.asarray(rng.uniform(size=n)), jnp.asarray(rng.uniform(size=n))))
+        jnp.asarray(rng.uniform(size=n)), jnp.asarray(rng.uniform(size=n)))[0])
     # fit mean(cos 2 beta): E[cos2b] = b/(2a) for density propto a + b cos2b
     a, b = p_int[0], p_int[1]
     expected = b / (2 * a)
     got = np.mean(np.cos(2 * beta))
     assert got == pytest.approx(expected, abs=0.01)
     assert abs(expected) > 0.05  # the modulation is actually nontrivial
+
+
+def test_beta_newton_inverts_cdf():
+    """The sampled azimuth satisfies F(beta) = u1 * F(pi) for the continuous
+    Stokes-weighted CDF (polarized input exercises the b, c terms)."""
+    tab = rayleigh.generate([0.7])
+    _, _, p_int = _tables(tab)
+    n = 20_000
+    rng = np.random.default_rng(7)
+    stokes_np = np.tile([1.0, 0.6, -0.5, 0.1], (n, 1))
+    u1 = rng.uniform(size=n)
+    beta, c2b, s2b = S.sample_beta(
+        jnp.asarray(np.tile(p_int, (n, 1))), jnp.asarray(stokes_np),
+        jnp.asarray(u1), jnp.asarray(np.zeros(n)))  # u2 < 0.5: no mirror
+    beta = np.asarray(beta)
+    i, q, u, v = stokes_np.T
+    a = p_int[0] * i + p_int[3] * v
+    b = p_int[1] * q + p_int[2] * u
+    c = p_int[1] * u - p_int[2] * q
+    F = a * beta + 0.5 * b * np.sin(2 * beta) + 0.5 * c * (1 - np.cos(2 * beta))
+    np.testing.assert_allclose(F, u1 * a * np.pi, rtol=0, atol=1e-8 * a.max())
+    np.testing.assert_allclose(np.asarray(c2b), np.cos(2 * beta), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s2b), np.sin(2 * beta), atol=1e-9)
+
+
+def test_alpha_hierarchical_matches_full_scan():
+    """The 15x12 hierarchical inversion picks the same bin as a flat scan of
+    all 181 edges and interpolates identically."""
+    tab = henyey_greenstein.generate([0.7], g1=0.7, p_linear=0.4)
+    scatter, prefix, p_int = _tables(tab)
+    n = 50_000
+    rng = np.random.default_rng(8)
+    stokes_np = np.tile([1.0, -0.4, 0.3, 0.0], (n, 1))
+    u3 = rng.uniform(size=n)
+    c2b = np.cos(2 * rng.uniform(0, np.pi, size=n))
+    s2b = np.sqrt(1 - c2b**2) * np.sign(rng.uniform(-1, 1, size=n))
+    alpha, alpha_deg = S.sample_alpha_fused(
+        jnp.asarray(prefix), jnp.zeros(n, jnp.int32), jnp.asarray(stokes_np),
+        (jnp.asarray(c2b), jnp.asarray(s2b)), jnp.asarray(u3))
+    # flat reference scan in float64
+    i, q, u, v = stokes_np.T
+    w = np.stack([i, c2b * q + s2b * u, -s2b * q + c2b * u, v], axis=-1)
+    cum = w @ prefix[0]                      # (n, 181)
+    target = u3 * cum[:, -1]
+    k = 1 + np.sum(cum[:, 1:-1] < target[:, None], axis=1)
+    lo = cum[np.arange(n), k - 1]
+    hi = cum[np.arange(n), k]
+    frac = np.where(hi > lo, (target - lo) / np.where(hi > lo, hi - lo, 1.0), 0.5)
+    expect_deg = (k - 1) + frac
+    np.testing.assert_allclose(np.asarray(alpha_deg), expect_deg, rtol=0, atol=5e-4)
 
 
 def test_matrix_at_angle_interpolation():
