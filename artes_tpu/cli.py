@@ -96,6 +96,7 @@ def run_main(argv=None):
     report.stage1(cfg, atm, det)
     out.write_plot_dat(dirs, cfg, atm, det)
     n_error = 0
+    error_codes = np.zeros(4, np.int64)
 
     if cfg.mode == "spectrum":
         done = set()
@@ -125,6 +126,7 @@ def run_main(argv=None):
             else:
                 out.write_luminosity(dirs, wl_m, res, packages)
             n_error += res.n_error
+            error_codes += res.error_codes
             print(f"Wavelength: {wl_m * 1e6:7.3f} micron", file=sys.stderr)
         report.stage3(cfg, atm, res, atm.n_wavelength - 1)
 
@@ -146,6 +148,7 @@ def run_main(argv=None):
             out.write_flow_latitudinal(dirs, res.flow_theta, res.flux_exit,
                                        res.cell_depth)
         n_error += res.n_error
+        error_codes += res.error_codes
         report.stage3(cfg, atm, res)
 
     elif cfg.mode == "imaging_broad":
@@ -155,6 +158,7 @@ def run_main(argv=None):
         for wl, res in enumerate(tallies):
             out.write_optical_depth(dirs, atm, wl)
             n_error += res.n_error
+            error_codes += res.error_codes
         report.stage3(cfg, atm, summed)
 
     elif cfg.mode == "phase":
@@ -165,11 +169,18 @@ def run_main(argv=None):
             if cfg.photon_source == "star" and ang < 1.0:
                 out.write_normalization(dirs, cfg, atm, atm.wavelengths[0])
             n_error += res.n_error
+            error_codes += res.error_codes
             print(f"\rPhase angle: {ang:6.1f} degrees", end="", file=sys.stderr)
         print(file=sys.stderr)
 
-    if n_error:
-        out.write_error_log(dirs, [("031/geometry", n_error)])
+    if n_error or error_codes.any():
+        # per-code tallies mirroring the reference's numbered error log
+        # (ARTES.f90:3397-3416, :4218-4228)
+        entries = [(code, int(cnt)) for code, cnt in zip(
+            ("031/geometry no-candidate", "032/runaway traversal",
+             "034/degenerate surface bounce", "05x/peel walk"), error_codes)
+            if cnt]
+        out.write_error_log(dirs, entries)
     report.stage4(n_error)
     out.send_completion_email(cfg, args.output)
     return 0

@@ -67,6 +67,10 @@ class WavelengthResult:
     n_alive_at_cap: int
     cell_depth: int
     prep: PreparedWavelength
+    # per-code tallies [031 geometry, 032 runaway, 034 degenerate bounce,
+    # peel-walk] mirroring the reference's numbered error log
+    error_codes: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(4, np.int64))
     flow_global: np.ndarray | None = None   # (nr, ntheta, nphi, 3)
     flow_theta: np.ndarray | None = None    # (nr, ntheta, nphi, 4)
 
@@ -108,6 +112,7 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
     flux_exit = 0.0
     n_error = 0
     n_alive = 0
+    error_codes = np.zeros(4, np.int64)
     if dispatch is None:
         # default: the regeneration kernel — a fixed-width lane pool with
         # in-loop refill (one device dispatch per <=2^30-photon chunk, ~100 %
@@ -130,6 +135,7 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
             flux_exit += float(out["flux_exit"])
             n_error += int(out["n_error"])
             n_alive += int(out["n_alive_at_cap"])
+            error_codes += np.asarray(out["error_codes"], np.int64)
             start += n
             chunk_idx += 1
     else:
@@ -148,6 +154,7 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
             flux_exit += float(out["flux_exit"])
             n_error += int(out["n_error"])
             n_alive += int(out["n_alive_at_cap"])
+            error_codes += np.asarray(out["error_codes"], np.int64)
             start += n
 
     e_pack = package_energy(cfg, atm, wl_index, packages,
@@ -163,7 +170,7 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
         photometry=photometry_from_detector(scaled),
         flux_emitted=flux_emitted, flux_exit=flux_exit,
         n_error=n_error, n_alive_at_cap=n_alive,
-        cell_depth=prep.cell_depth, prep=prep,
+        cell_depth=prep.cell_depth, prep=prep, error_codes=error_codes,
         flow_global=flow_g.reshape(shape3 + (3,)) if static.track_flow else None,
         flow_theta=flow_t.reshape(shape3 + (4,)) if static.track_flow else None,
     )
@@ -266,6 +273,7 @@ def _run_wavelengths_vmapped(atm, cfg, det, packages, seed, wls=None,
     flux_exit = np.zeros(nl)
     n_error = np.zeros(nl, np.int64)
     n_alive = np.zeros(nl, np.int64)
+    error_codes = np.zeros((nl, 4), np.int64)
     start = 0
     # keep the total lanes in flight comparable to the single-lambda case
     per_launch = max(batch_size // max(nl, 1), 1024)
@@ -278,6 +286,7 @@ def _run_wavelengths_vmapped(atm, cfg, det, packages, seed, wls=None,
         flux_exit += np.asarray(out["flux_exit"], np.float64)
         n_error += np.asarray(out["n_error"], np.int64)
         n_alive += np.asarray(out["n_alive_at_cap"], np.int64)
+        error_codes += np.asarray(out["error_codes"], np.int64)
         start += n
 
     results = []
@@ -293,6 +302,7 @@ def _run_wavelengths_vmapped(atm, cfg, det, packages, seed, wls=None,
             flux_emitted=float(flux_emitted[i]), flux_exit=float(flux_exit[i]),
             n_error=int(n_error[i]), n_alive_at_cap=int(n_alive[i]),
             cell_depth=preps[i].cell_depth, prep=preps[i],
+            error_codes=error_codes[i],
         ))
     return results
 

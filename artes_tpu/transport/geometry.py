@@ -381,8 +381,8 @@ def cell_face(g: GridGeometry, pos, dirn, cell, cur_face, cell_depth):
     cell_out = jnp.stack([cr_out, ct_out, cp_out], axis=-1)
 
     grid_exit = (next_axis == 1) & (next_idx == g.nr)
-    # degenerate surface bounce (error 034)
-    error = error | (
+    # degenerate surface bounce (error 034, ARTES.f90:3438-3468)
+    err_degen = (
         cur_r & (fidx == cell_depth) & (next_axis == 1) & (next_idx == cell_depth)
     )
     next_face = jnp.stack([next_axis, next_idx * one], axis=-1)
@@ -391,7 +391,9 @@ def cell_face(g: GridGeometry, pos, dirn, cell, cur_face, cell_depth):
         "distance": distance,
         "cell_out": cell_out,
         "grid_exit": grid_exit,
-        "error": error,
+        "error": error | err_degen,
+        "err_nocand": error,       # error 031: no candidate face
+        "err_degen": err_degen,    # error 034: degenerate surface bounce
     }
 
 

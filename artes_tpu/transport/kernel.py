@@ -560,6 +560,8 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         stop_interact = m & interact
         exited = c["exited"] | (crossing & out["grid_exit"] & ~hit_surface)
         err = c["error"] | (m & out["error"])
+        e031 = c["e031"] | (m & out["err_nocand"])
+        e034 = c["e034"] | (m & out["err_degen"])
         still = crossing & ~out["grid_exit"] & ~absorbed & ~err & ~peel_blocked
 
         adv = (m & is_trans)[:B] if merged_peel else (m & is_trans)
@@ -580,6 +582,8 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
             "absorbed": c["absorbed"] | absorbed,
             "surface": surface_flag,
             "error": err,
+            "e031": e031,
+            "e034": e034,
             "marching": still,
             "detector": detector_new,
             "flow_g": fg,
@@ -596,6 +600,8 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         "absorbed": jnp.zeros(tau.shape, bool),
         "surface": jnp.zeros(tau.shape, bool),
         "error": jnp.zeros(tau.shape, bool),
+        "e031": jnp.zeros(tau.shape, bool),
+        "e034": jnp.zeros(tau.shape, bool),
         "marching": active,
         "detector": detector,
         "flow_g": flow_g if flow_g is not None else jnp.zeros((1, 3), pos.dtype),
@@ -605,6 +611,8 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
     }
     out = jax.lax.while_loop(cond, body, init)
     # lanes still marching at the crossing cap are abandoned as errors
+    # (code 032: runaway traversal)
+    out["e032"] = out["marching"]
     out["error"] = out["error"] | out["marching"]
     final_counter = out["counter"]
     if merged_peel:
@@ -616,7 +624,7 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         }
         for key in ("pos", "dirn", "cell", "face", "stokes", "tau_run",
                     "interacted", "exited", "absorbed", "surface", "error",
-                    "marching"):
+                    "e031", "e032", "e034", "marching"):
             out[key] = out[key][:B]
         return out, final_counter, peel
     return out, final_counter
@@ -683,13 +691,14 @@ def _start_impl(t: TransportTables, static: KernelStatic, photon_ids, seed):
     active = jnp.ones(n, bool)
 
     flux_emitted = jnp.zeros((), dtype)
+    birth_err_mask = jnp.zeros(n, bool)
     if static.photon_source == 2:
         # thermal birth: weight + birth peel (ARTES.f90:599-621)
         w = bias_weight / G.small_gather(t.cell_weight, flat_cell(t.grid, cell))
         stokes = stokes.at[:, 0].multiply(w)
         flux_emitted = jnp.sum(stokes[:, 0])
-        detector, birth_err = _peel_thermal(t, static, detector, pos, cell, face, stokes, active)
-        active = active & ~birth_err
+        detector, birth_err_mask = _peel_thermal(t, static, detector, pos, cell, face, stokes, active)
+        active = active & ~birth_err_mask
 
     # forced first interaction (ARTES.f90:623-685)
     tau_first, surface_hit, pre_err = _first_tau_walk(t, static, pos, dirn, cell, face, active)
@@ -721,8 +730,17 @@ def _start_impl(t: TransportTables, static: KernelStatic, photon_ids, seed):
     if static.photon_source == 2:
         flux_exit = flux_exit + jnp.sum(jnp.where(m_out["exited"] & active, stokes[:, 0], 0.0))
     n_error = jnp.sum(m_out["error"] & active, dtype=jnp.int32)
+    # per-code tallies (reference error codes, ARTES.f90:3397-3416):
+    # [031 no-candidate geometry, 032 crossing-cap runaway, 034 degenerate
+    # surface bounce, peel-walk errors (flux silently dropped)]
+    error_codes = jnp.stack([
+        jnp.sum(m_out["e031"] & active, dtype=jnp.int32)
+        + jnp.sum(pre_err, dtype=jnp.int32),
+        jnp.sum(m_out["e032"] & active, dtype=jnp.int32),
+        jnp.sum(m_out["e034"] & active, dtype=jnp.int32),
+        jnp.sum(birth_err_mask, dtype=jnp.int32),
+    ])
     alive = active & m_out["interacted"] & ~m_out["error"]
-
 
     state = {
         "pos": pos, "dirn": dirn, "cell": cell, "face": face, "stokes": stokes,
@@ -731,7 +749,7 @@ def _start_impl(t: TransportTables, static: KernelStatic, photon_ids, seed):
     out = {
         "detector": detector, "flow_global": flow_g, "flow_theta": flow_t,
         "flux_emitted": flux_emitted, "flux_exit": flux_exit,
-        "n_error": n_error,
+        "n_error": n_error, "error_codes": error_codes,
     }
     return state, out
 
@@ -743,6 +761,7 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
     keys = R.photon_keys(seed, state["photon_ids"])
     flux_exit = jnp.zeros((), dtype)
     n_error = jnp.zeros((), jnp.int32)
+    error_codes = jnp.zeros(4, jnp.int32)
     pos, dirn, cell, face, stokes, alive, counter = (
         state["pos"], state["dirn"], state["cell"], state["face"],
         state["stokes"], state["alive"], state["counter"])
@@ -804,6 +823,11 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
                 flux_exit = flux_exit + jnp.sum(
                     jnp.where(m_out["exited"] & alive, m_out["stokes"][:, 0], 0.0))
             n_error = c["n_error"] + jnp.sum(m_out["error"] & alive, dtype=jnp.int32)
+            error_codes = c["error_codes"] + jnp.stack([
+                jnp.sum(m_out["e031"] & alive, dtype=jnp.int32),
+                jnp.sum(m_out["e032"] & alive, dtype=jnp.int32),
+                jnp.sum(m_out["e034"] & alive, dtype=jnp.int32),
+                jnp.sum(peel["error"] & alive, dtype=jnp.int32)])
             alive = alive & m_out["interacted"] & ~m_out["error"]
             return {
                 "pos": m_out["pos"], "dirn": m_out["dirn"], "cell": m_out["cell"],
@@ -811,6 +835,7 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
                 "alive": alive, "detector": detector,
                 "flow_g": m_out["flow_g"], "flow_t": m_out["flow_t"],
                 "flux_exit": flux_exit, "n_error": n_error,
+                "error_codes": error_codes,
                 "counter": counter, "round": c["round"] + 1,
             }
 
@@ -818,7 +843,8 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
             "pos": pos, "dirn": dirn, "cell": cell, "face": face, "stokes": stokes,
             "alive": alive, "detector": detector, "flow_g": flow_g, "flow_t": flow_t,
             "flux_exit": flux_exit,
-            "n_error": n_error, "counter": counter,
+            "n_error": n_error, "error_codes": jnp.zeros(4, jnp.int32),
+            "counter": counter,
             "round": jnp.asarray(0, jnp.int32),
         }
         carry = jax.lax.while_loop(s_cond, s_body, carry)
@@ -826,6 +852,7 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
         flow_g, flow_t = carry["flow_g"], carry["flow_t"]
         flux_exit = carry["flux_exit"]
         n_error = carry["n_error"]
+        error_codes = carry["error_codes"]
         pos, dirn, cell, face, stokes, alive, counter = (
             carry["pos"], carry["dirn"], carry["cell"], carry["face"],
             carry["stokes"], carry["alive"], carry["counter"])
@@ -840,6 +867,7 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
         "flow_theta": flow_t,
         "flux_exit": flux_exit,
         "n_error": n_error,
+        "error_codes": error_codes,
         "n_alive_at_cap": jnp.sum(alive, dtype=jnp.int32),
     }
     return state_out, out
@@ -870,6 +898,7 @@ def run_batch(tables: TransportTables, static: KernelStatic, photon_ids, seed):
         "flux_emitted": out0["flux_emitted"],
         "flux_exit": out0["flux_exit"] + out1["flux_exit"],
         "n_error": out0["n_error"] + out1["n_error"],
+        "error_codes": out0["error_codes"] + out1["error_codes"],
         "n_alive_at_cap": out1["n_alive_at_cap"],
     }
 
@@ -1034,6 +1063,7 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         detector = _splat(detector, peel_pix,
                           peel_contrib * w_peel[:, None], ok_peel)
 
+        error_codes = c["error_codes"]
         if thermal:
             # birth peel splat, e^-tau/(4 pi) on Stokes I (ARTES.f90:4519-4598)
             w_b = w_peel / (4.0 * PI)
@@ -1043,6 +1073,7 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
             detector = _splat(detector, pix_b, contrib_b, ok_b, first_only=True)
             nb0_err = nb0 & peel["error"]
             n_error = n_error + jnp.sum(nb0_err, dtype=jnp.int32)
+            error_codes = error_codes.at[3].add(jnp.sum(nb0_err, dtype=jnp.int32))
             stage = jnp.where(nb0_err, STAGE_DEAD,
                               jnp.where(nb0, STAGE_PREWALK, stage))
 
@@ -1054,9 +1085,15 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         stage = jnp.where(nb1_err, STAGE_DEAD,
                           jnp.where(nb1, STAGE_FIRST_WALK, stage))
 
-        # transport outcomes
+        # transport outcomes + per-code tallies (031/032/034/peel)
         terr = m_out["error"] & active_t
         n_error = n_error + jnp.sum(terr, dtype=jnp.int32)
+        error_codes = error_codes + jnp.stack([
+            jnp.sum(m_out["e031"] & active_t, dtype=jnp.int32)
+            + jnp.sum(nb1_err, dtype=jnp.int32),
+            jnp.sum(m_out["e032"] & active_t, dtype=jnp.int32),
+            jnp.sum(m_out["e034"] & active_t, dtype=jnp.int32),
+            jnp.sum(peel["error"] & live_surv, dtype=jnp.int32)])
         if thermal:
             flux_exit = flux_exit + jnp.sum(
                 jnp.where(m_out["exited"] & active_t, m_out["stokes"][:, 0], 0.0))
@@ -1078,7 +1115,8 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
             "detector": detector, "flow_g": m_out["flow_g"],
             "flow_t": m_out["flow_t"],
             "flux_emitted": flux_emitted, "flux_exit": flux_exit,
-            "n_error": n_error, "n_alive_at_cap": n_cap,
+            "n_error": n_error, "error_codes": error_codes,
+            "n_alive_at_cap": n_cap,
             "round": c["round"] + u32(1),
         }
 
@@ -1101,6 +1139,7 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         "flux_emitted": jnp.zeros((), dtype),
         "flux_exit": jnp.zeros((), dtype),
         "n_error": jnp.zeros((), jnp.int32),
+        "error_codes": jnp.zeros(4, jnp.int32),
         "n_alive_at_cap": jnp.zeros((), jnp.int32),
         "round": u32(0),
     }
@@ -1112,6 +1151,7 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         "flux_emitted": out["flux_emitted"],
         "flux_exit": out["flux_exit"],
         "n_error": out["n_error"],
+        "error_codes": out["error_codes"],
         "n_alive_at_cap": out["n_alive_at_cap"],
         "n_emitted": out["n_emitted"],
         "n_rounds": out["round"],

@@ -157,3 +157,18 @@ def test_lambert_surface_reflection(tmp_path):
     assert got == pytest.approx(2.0 / 3.0, rel=0.03)
     # Lambertian surface fully depolarizes
     assert abs(res.photometry[2] / res.photometry[0]) < 0.01
+
+
+def test_error_code_tallies_clean_run(tmp_path):
+    """The per-code error tallies (031/032/034/peel) ride through the
+    runner; a clean config reports zeros everywhere."""
+    tab = rayleigh.generate([0.7])
+    atm = make_input(tmp_path, "codes", tab, radius_rjup=1.0, radial_km=100,
+                     density_gcc=2e-9)
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    res = run_wavelength(atm, cfg, det, 0, packages=4000, seed=3, batch_size=4000)
+    assert res.error_codes.shape == (4,)
+    assert res.n_error == 0
+    assert (res.error_codes == 0).all()
