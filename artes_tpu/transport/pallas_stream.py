@@ -1,0 +1,935 @@
+"""Fused Pallas transport kernel: the regeneration pool in one TPU kernel.
+
+The XLA stream kernel (``kernel.run_stream``) is latency/HBM-bound: every
+round body materialises dozens of (width,)-shaped intermediates through HBM,
+so the VPU runs at <0.1 % utilisation (measured 982k photons/s on TPU v5e
+against a compute ceiling in the tens of millions). This module compiles the
+*entire* pool loop — refill, emission, scattering, the transport march, the
+detector peel walk and the splat — into a single Pallas kernel whose state
+lives in VMEM, eliminating the HBM round-trips.
+
+Semantics: bit-identical photon streams to ``run_stream`` (same hand-rolled
+threefry2x32, same per-lane event-history draw-site schedule, same geometry
+and Mueller algebra re-derived in structure-of-arrays form); detector sums
+differ only by f32 summation order. ``tests/test_pallas_stream.py`` checks
+this against the XLA kernel in interpreter mode.
+
+Scope (everything else falls back to ``run_stream``; see :func:`supports`):
+
+* stellar source (``photon_source == 1``), scattering on, no flow tracking,
+* radial-only grids (``ntheta == nphi == 1``, ``nr <= 32``) — the geometry of
+  BASELINE configs #1-#3 (reference grids: ARTES.f90:2800-3470 restricted to
+  radial faces),
+* single-pixel detector (spectrum / photometry / phase-curve modes),
+* absorbing surface (``surface_albedo == 0``) and float32 tables.
+
+Layout: the lane pool is structure-of-arrays — every per-photon variable is
+its own ``(width/128, 128)`` tile-aligned array, so each physics formula is a
+VPU op with no minor-dimension padding. Per-cell tables (opacities, CDF
+prefix tables, scattering-matrix columns) are scalars in SMEM, broadcast into
+the vector ops; the host wrapper deduplicates scattering-matrix columns
+(equal/negated/zero, e.g. the 6 distinct entries of a Rayleigh matrix) so the
+per-event 180-bin matrix interpolation only selects distinct columns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from artes_tpu.transport import rng as R
+
+i32 = jnp.int32
+u32 = jnp.uint32
+f32 = jnp.float32
+
+BIG = 1.0e30
+N_ANGLE = 180
+N_COARSE = 15
+N_FINE = 12
+_DEG = np.pi / 180.0
+TWO_PI = 2.0 * np.pi
+
+STAGE_DEAD = 0
+STAGE_PREWALK = 2
+STAGE_FIRST_WALK = 3
+STAGE_LIVE = 4
+
+# Continuous azimuth-CDF basis at the 17 coarse edges (sampling.py)
+_BETA_EDGES = np.linspace(0.0, np.pi, 17)
+_BETA_BASIS = np.stack([_BETA_EDGES,
+                        0.5 * np.sin(2.0 * _BETA_EDGES),
+                        0.5 * (1.0 - np.cos(2.0 * _BETA_EDGES))])  # (3, 17)
+
+
+@dataclasses.dataclass(frozen=True)
+class PallasSpec:
+    """Compile-time specialisation extracted from concrete tables."""
+
+    nr: int
+    cell_depth: int
+    max_scatter: int
+    max_crossings: int
+    crescent: bool
+    stellar_direction: bool
+    ob: tuple           # (ax, by, cz)
+    pos_eps: float
+    same_eps: float
+    sel1: float
+    sel2: float
+    boundary_tol: float
+    # scattering-matrix column reuse: 16 entries, each one of
+    # ('d', j) distinct column j | ('r', e) reuse entry e | ('n', e) negated
+    # entry e | ('z',) all-zero
+    scat_reps: tuple
+    n_distinct: int
+    alpha_active: tuple  # indices of nonzero alpha-CDF weight rows
+
+
+def supports(tables, static) -> bool:
+    """True when this kernel covers the configuration (else use run_stream)."""
+    g = tables.grid
+    try:
+        sa = float(tables.surface_albedo)
+    except Exception:
+        return False  # traced tables: cannot specialise eagerly
+    return (static.photon_source == 1
+            and static.photon_scattering
+            and not static.track_flow
+            and static.nx * static.ny == 1
+            and g.ntheta == 1 and g.nphi == 1 and 1 <= g.nr <= 32
+            and tables.opacity.dtype == jnp.float32
+            and sa == 0.0)
+
+
+def make_spec(tables, static) -> PallasSpec:
+    g = tables.grid
+    scat = np.asarray(tables.scatter_rows)          # (nr*180, 16)
+    reps = []
+    distinct = []
+    for e in range(16):
+        col = scat[:, e]
+        if not np.any(col):
+            reps.append(("z",))
+            continue
+        hit = None
+        for e2 in range(e):
+            prev = scat[:, e2]
+            if np.array_equal(col, prev):
+                hit = ("r", e2)
+                break
+            if np.array_equal(col, -prev):
+                hit = ("n", e2)
+                break
+        if hit is None:
+            reps.append(("d", len(distinct)))
+            distinct.append(e)
+        else:
+            reps.append(hit)
+    prefix = np.asarray(tables.alpha_prefix)        # (nr, 4, 181)
+    alpha_active = tuple(int(k) for k in range(4)
+                         if np.any(prefix[:, k, :]))
+    return PallasSpec(
+        nr=g.nr, cell_depth=int(tables.cell_depth),
+        max_scatter=static.max_scatter, max_crossings=static.max_crossings,
+        crescent=static.crescent, stellar_direction=static.stellar_direction,
+        ob=(g.ob_ax, g.ob_by, g.ob_cz),
+        pos_eps=g.pos_eps, same_eps=g.same_eps, sel1=g.sel1, sel2=g.sel2,
+        boundary_tol=g.boundary_tol,
+        scat_reps=tuple(reps), n_distinct=len(distinct),
+        alpha_active=alpha_active,
+    ), distinct
+
+
+def _emit_basis(tables, spec):
+    """Stellar-beam orthonormal basis on the ellipsoid silhouette — the
+    trace-time constants of the emit stage (kernel.py _emit, stellar)."""
+    ax, by, cz = spec.ob
+    if spec.stellar_direction:
+        th, ph = tables.star_theta, tables.star_phi
+        cy, sy = jnp.cos(-(np.pi / 2.0 - th)), jnp.sin(-(np.pi / 2.0 - th))
+        cf, sf_ = jnp.cos(ph), jnp.sin(ph)
+        # rot = Rz(phi) @ Ry(-(pi/2 - theta)) applied to -x, y, z axes
+        u_hat = jnp.stack([-cy * cf, -cy * sf_, sy])
+        e1 = jnp.stack([-sf_, cf, jnp.zeros_like(cf)])
+        e2 = jnp.stack([sy * cf, sy * sf_, cy])
+    else:
+        u_hat = jnp.asarray([-1.0, 0.0, 0.0], f32)
+        e1 = jnp.asarray([0.0, 1.0, 0.0], f32)
+        e2 = jnp.asarray([0.0, 0.0, 1.0], f32)
+    s_diag = jnp.asarray([ax, by, cz], f32)
+    w = s_diag * u_hat
+    w_hat = w / jnp.linalg.norm(w)
+    e1s = s_diag * e1
+    e1s = e1s - jnp.dot(e1s, w_hat) * w_hat
+    e1s = e1s / jnp.linalg.norm(e1s)
+    e2s = jnp.cross(e1s, w_hat)
+    return u_hat.astype(f32), e1s.astype(f32), e2s.astype(f32), w_hat.astype(f32)
+
+
+def _acos(x):
+    """arccos via the Abramowitz-Stegun 4.4.45 polynomial (|err| < 2e-8):
+    Mosaic has no native arccos; this feeds the half-degree matrix
+    interpolation where f32 resolution dominates the error anyway."""
+    y = jnp.abs(x)
+    p = -0.0012624911
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * y + c
+    r = jnp.sqrt(jnp.maximum(1.0 - y, 0.0)) * p
+    return jnp.where(x < 0.0, np.pi - r, r)
+
+
+def _build_kernel(spec: PallasSpec, width: int):
+    """Construct the Pallas kernel body for one (spec, width)."""
+    C = 128
+    RR = width // C
+    nr = spec.nr
+    ax, by, cz = spec.ob
+    a2, b2, c2 = ax * ax, by * by, cz * cz
+    pos_eps = spec.pos_eps
+    D = spec.n_distinct
+
+    def sel_cell(read, cr):
+        """table[cr] for per-lane radial cell cr via unrolled selects.
+
+        ``read(i)`` returns the scalar for cell i (an SMEM load)."""
+        if nr == 1:
+            return jnp.zeros(cr.shape, f32) + read(0)
+        acc = jnp.zeros(cr.shape, f32)
+        for i in range(nr):
+            acc = jnp.where(cr == i, read(i), acc)
+        return acc
+
+    def kernel(sf, si, coarse, fine, scat, lt_c, lt_r, outf, outi):
+        n_photons = si[0]
+        seed = si[1]
+
+        # ---- scalar parameter loads (SMEM) ----
+        off = 0
+        rf = [sf[off + i] for i in range(nr + 1)]
+        off += nr + 1
+        op_off = off; off += nr
+        al_off = off; off += nr
+        pint_off = off; off += 4 * nr
+        fstop = sf[off]; pmin = sf[off + 1]
+        x_max = sf[off + 2]; y_max = sf[off + 3]
+        off += 4
+        ddx, ddy, ddz = sf[off], sf[off + 1], sf[off + 2]
+        st_d, ct_d, sp_d, cp_d = sf[off + 3], sf[off + 4], sf[off + 5], sf[off + 6]
+        off += 7
+        uhx, uhy, uhz = sf[off], sf[off + 1], sf[off + 2]
+        e1x, e1y, e1z = sf[off + 3], sf[off + 4], sf[off + 5]
+        e2x, e2y, e2z = sf[off + 6], sf[off + 7], sf[off + 8]
+        whx, why, whz = sf[off + 9], sf[off + 10], sf[off + 11]
+
+        dshape = (RR, C)
+        zf = jnp.zeros(dshape, f32)
+        zb = jnp.zeros(dshape, jnp.bool_)
+        zi = jnp.zeros(dshape, i32)
+        zu = jnp.zeros(dshape, u32)
+
+        cd = spec.cell_depth
+        r_outer = rf[nr]
+        r_floor = rf[cd]
+
+
+        def opacity_at(cr):
+            return sel_cell(lambda i: sf[op_off + i], cr)
+
+        def albedo_at(cr):
+            return sel_cell(lambda i: sf[al_off + i], cr)
+
+        # ---- geometry: radial-only cell_face (geometry.py:224-397) ----
+        def quadratic(qa, qb, qc):
+            disc = qb * qb - 4.0 * qa * qc
+            ok = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+            sgn = jnp.where(qb > 0.0, 1.0, jnp.where(qb < 0.0, -1.0, 0.0))
+            q = -0.5 * (qb + sgn * sq)
+            q = jnp.where(qb == 0.0, -0.5 * sq, q)
+            s1 = jnp.where(ok & (jnp.abs(qa) > 1.0e-30),
+                           q / jnp.where(qa == 0.0, 1.0, qa), 0.0)
+            s2 = jnp.where(ok & (jnp.abs(q) > 1.0e-30),
+                           qc / jnp.where(q == 0.0, 1.0, q), 0.0)
+            return s1, s2
+
+        def pick_root(s1, s2, eps):
+            v1 = (s1 > eps) & (s1 < BIG)
+            v2 = (s2 > eps) & (s2 < BIG)
+            return jnp.where(v1 & v2, jnp.minimum(s1, s2),
+                             jnp.where(v1, s1, jnp.where(v2, s2, 0.0)))
+
+        def sphere_distance(px, py, pz, dx, dy, dz, r_face, eps):
+            qa = a2 * dx * dx + b2 * dy * dy + c2 * dz * dz
+            qb = 2.0 * (a2 * px * dx + b2 * py * dy + c2 * pz * dz)
+            qc = a2 * px * px + b2 * py * py + c2 * pz * pz - r_face * r_face
+            return pick_root(*quadratic(qa, qb, qc), eps)
+
+        def cell_face(px, py, pz, dx, dy, dz, cr, fax, fidx):
+            cur_r = fax == 1
+            rp0 = sel_cell(lambda i: rf[i], cr)
+            rp1 = sel_cell(lambda i: rf[i + 1], cr)
+            r_in_active = ~(cur_r & (cr == fidx))
+            d_in = jnp.where(r_in_active,
+                             sphere_distance(px, py, pz, dx, dy, dz, rp0, pos_eps),
+                             0.0)
+            r_same = cur_r & (cr == fidx - 1)
+            d_out = sphere_distance(px, py, pz, dx, dy, dz, rp1,
+                                    jnp.where(r_same, spec.same_eps, pos_eps))
+
+            def tier(eps):
+                m0 = jnp.where(d_in > eps, d_in, BIG)
+                m1 = jnp.where(d_out > eps, d_out, BIG)
+                return jnp.minimum(m0, m1), m1 < m0
+
+            dist1, out1 = tier(spec.sel1)
+            dist2, out2 = tier(spec.sel2)
+            fb = dist1 >= BIG
+            dist = jnp.where(fb, dist2, dist1)
+            outward = (fb & out2) | (~fb & out1)
+            no_cand = dist >= BIG
+            dist = jnp.where(no_cand, 0.0, dist)
+
+            # boundary-pinned rescue (geometry.py:343-363)
+            rho2 = a2 * px * px + b2 * py * py + c2 * pz * pz
+            rad_dot = a2 * px * dx + b2 * py * dy + c2 * pz * dz
+            tol = spec.boundary_tol
+            on_outer = no_cand & (rho2 >= (r_outer * (1.0 - tol)) ** 2) & (rad_dot > 0.0)
+            on_floor = no_cand & ~on_outer & (rho2 <= (r_floor * (1.0 + tol)) ** 2) \
+                & (rad_dot < 0.0) & (cr == cd)
+            rescued = on_outer | on_floor
+            err_nocand = no_cand & ~rescued
+
+            outward = (rescued & on_outer) | (~rescued & outward)
+            next_idx = jnp.where(outward, cr + 1, cr)
+            next_idx = jnp.where(on_outer, nr, jnp.where(on_floor, cd, next_idx))
+            cr_out = jnp.where(outward, cr + 1, cr - 1)
+            grid_exit = next_idx == nr
+            err_degen = cur_r & (fidx == cd) & (next_idx == cd)
+            return dict(distance=dist, next_idx=next_idx, cr_out=cr_out,
+                        grid_exit=grid_exit, err_nocand=err_nocand,
+                        err_degen=err_degen, error=err_nocand | err_degen)
+
+        # Loop-carried booleans are stored as i32 masks: Mosaic cannot
+        # legalize vector<i1> carries through scf.yield.
+        def b2i(x):
+            return x.astype(i32)
+
+        # ---- transport march (kernel.py _march, transport half) ----
+        def march(px, py, pz, dx, dy, dz, cr, fax, fidx, tau, active, ctr):
+            def cond(c):
+                return jnp.any(c["m"] != 0) & (c["it"] < spec.max_crossings)
+
+            def body(c):
+                m = c["m"] != 0
+                out = cell_face(c["px"], c["py"], c["pz"], dx, dy, dz,
+                                c["cr"], c["fax"], c["fidx"])
+                d = out["distance"]
+                k = opacity_at(c["cr"])
+                tau_cell = d * k
+                interact = c["tau_run"] + tau_cell > tau
+                s_int = (tau - c["tau_run"]) / jnp.where(k == 0.0, 1.0, k)
+                step = jnp.where(interact, s_int, d)
+                hit_surface = ~interact & (out["next_idx"] == cd)
+                absorbed = m & hit_surface          # surface_albedo == 0
+                crossing = m & ~interact
+                err = (c["err"] != 0) | (m & out["error"])
+                still = crossing & ~out["grid_exit"] & ~absorbed & ~err
+                return dict(
+                    px=jnp.where(m, c["px"] + step * dx, c["px"]),
+                    py=jnp.where(m, c["py"] + step * dy, c["py"]),
+                    pz=jnp.where(m, c["pz"] + step * dz, c["pz"]),
+                    cr=jnp.where(crossing, out["cr_out"], c["cr"]),
+                    fax=jnp.where(crossing, 1, jnp.where(m & interact, 0, c["fax"])),
+                    fidx=jnp.where(crossing, out["next_idx"],
+                                   jnp.where(m & interact, 0, c["fidx"])),
+                    tau_run=c["tau_run"] + jnp.where(crossing, tau_cell, 0.0),
+                    inter=c["inter"] | b2i(m & interact),
+                    err=b2i(err),
+                    e031=c["e031"] | b2i(m & out["err_nocand"]),
+                    e034=c["e034"] | b2i(m & out["err_degen"]),
+                    ctr=c["ctr"] + jnp.where(m, u32(3), u32(0)),
+                    m=b2i(still),
+                    it=c["it"] + 1,
+                )
+
+            init = dict(px=px, py=py, pz=pz, cr=cr, fax=fax, fidx=fidx,
+                        tau_run=zf, inter=zi, err=zi, e031=zi, e034=zi,
+                        ctr=ctr, m=b2i(active), it=jnp.asarray(0, i32))
+            o = jax.lax.while_loop(cond, body, init)
+            marching = o["m"] != 0
+            return dict(px=o["px"], py=o["py"], pz=o["pz"], cr=o["cr"],
+                        fax=o["fax"], fidx=o["fidx"], ctr=o["ctr"],
+                        inter=o["inter"] != 0,
+                        err=(o["err"] != 0) | marching,
+                        e031=o["e031"] != 0, e034=o["e034"] != 0,
+                        e032=marching)
+
+        # ---- peel / prewalk tau walk (the merged-march peel half) ----
+        def tau_walk(px, py, pz, dx, dy, dz, cr, fax, fidx, active):
+            def cond(c):
+                return jnp.any(c["m"] != 0) & (c["it"] < spec.max_crossings)
+
+            def body(c):
+                m = c["m"] != 0
+                out = cell_face(c["px"], c["py"], c["pz"], dx, dy, dz,
+                                c["cr"], c["fax"], c["fidx"])
+                d = out["distance"]
+                tau_cell = d * opacity_at(c["cr"])
+                hit_surface = out["next_idx"] == cd
+                stop = out["grid_exit"] | out["error"] | hit_surface
+                return dict(
+                    px=jnp.where(m, c["px"] + d * dx, c["px"]),
+                    py=jnp.where(m, c["py"] + d * dy, c["py"]),
+                    pz=jnp.where(m, c["pz"] + d * dz, c["pz"]),
+                    cr=jnp.where(m, out["cr_out"], c["cr"]),
+                    fax=jnp.where(m, 1, c["fax"]),
+                    fidx=jnp.where(m, out["next_idx"], c["fidx"]),
+                    tau=c["tau"] + jnp.where(m, tau_cell, 0.0),
+                    exited=c["exited"] | b2i(m & out["grid_exit"]),
+                    surface=c["surface"] | b2i(m & hit_surface),
+                    err=c["err"] | b2i(m & out["error"]),
+                    m=b2i(m & ~stop),
+                    it=c["it"] + 1,
+                )
+
+            init = dict(px=px, py=py, pz=pz, cr=cr, fax=fax, fidx=fidx,
+                        tau=zf, exited=zi, surface=zi, err=zi,
+                        m=b2i(active), it=jnp.asarray(0, i32))
+            o = jax.lax.while_loop(cond, body, init)
+            return dict(tau=o["tau"], exited=o["exited"] != 0,
+                        surface=o["surface"] != 0,
+                        err=(o["err"] != 0) | (o["m"] != 0))
+
+        # ---- 180-bin matrix interpolation (sampling.matrix_at_angle_deg) ----
+        def matrix_at(cr, angle_deg):
+            t = angle_deg - 0.5
+            r0 = jnp.clip(jnp.floor(t).astype(i32), 0, N_ANGLE - 2)
+            frac = jnp.clip(t - r0.astype(f32), 0.0, 1.0)
+            one_m = 1.0 - frac
+            cols = [jnp.zeros(dshape, f32) for _ in range(D)]
+            for cell in range(nr):
+                cm = (cr == cell) if nr > 1 else None
+                for r in range(N_ANGLE):
+                    m0 = r0 == r
+                    m1 = r0 == r - 1
+                    w = jnp.where(m0, one_m, jnp.where(m1, frac, 0.0))
+                    if cm is not None:
+                        w = jnp.where(cm, w, 0.0)
+                    base = (cell * N_ANGLE + r) * D
+                    for d_ in range(D):
+                        cols[d_] = cols[d_] + w * scat[base + d_]
+            ent = []
+            for rep in spec.scat_reps:
+                if rep[0] == "z":
+                    ent.append(zf)
+                elif rep[0] == "d":
+                    ent.append(cols[rep[1]])
+                elif rep[0] == "r":
+                    ent.append(ent[rep[1]])
+                else:
+                    ent.append(-ent[rep[1]])
+            return ent  # 16 (RR,C) arrays, row-major m[i][j] = ent[4*i+j]
+
+        # ---- Mueller pipeline (mueller.py) ----
+        def rotate_cs(si_, sq, su, sv, c2p, s2p):
+            qn = c2p * sq + s2p * su
+            un = -s2p * sq + c2p * su
+            p_in = jnp.sqrt(sq * sq + su * su + sv * sv)
+            p_out = jnp.sqrt(qn * qn + un * un + sv * sv)
+            nrm = jnp.where(p_out > 0.0,
+                            p_in / jnp.where(p_out == 0.0, 1.0, p_out), 1.0)
+            return si_, qn * nrm, un * nrm, sv * nrm
+
+        def polarization_rotation(alpha, stokes, ent, dz_, dzn, peeling,
+                                  c2b, s2b, beta_sign):
+            si_, sq, su, sv = stokes
+            salpha = jnp.sqrt(jnp.maximum(1.0 - alpha * alpha, 0.0))
+            szn = jnp.sqrt(jnp.maximum(1.0 - dzn * dzn, 0.0))
+            denom = salpha * szn
+            cb2 = jnp.clip((dz_ - dzn * alpha) / jnp.where(denom == 0.0, 1.0, denom),
+                           -1.0, 1.0)
+            cb2 = jnp.where(denom == 0.0, 1.0, cb2)
+            i1, q1, u1, v1 = rotate_cs(si_, sq, su, sv, c2b, s2b)
+            o = [ent[4 * r + 0] * i1 + ent[4 * r + 1] * q1
+                 + ent[4 * r + 2] * u1 + ent[4 * r + 3] * v1 for r in range(4)]
+            if not peeling:
+                nrm = jnp.where(o[0] > 0.0,
+                                i1 / jnp.where(o[0] == 0.0, 1.0, o[0]), 0.0)
+                o = [x * nrm for x in o]
+            c2p2 = 2.0 * cb2 * cb2 - 1.0
+            s2p2 = 2.0 * cb2 * jnp.sqrt(jnp.maximum(1.0 - cb2 * cb2, 0.0)) * beta_sign
+            return rotate_cs(o[0], o[1], o[2], o[3], c2p2, s2p2)
+
+        def direction_cosine(alpha, beta, dx, dy, dz_):
+            sto2 = jnp.maximum(1.0 - dz_ * dz_, 0.0)
+            sto = jnp.sqrt(sto2)
+            degen = sto < 1.0e-12
+            inv = 1.0 / jnp.where(degen, 1.0, sto)
+            e1x_ = jnp.where(degen, 1.0, -dz_ * dx * inv)
+            e1y_ = jnp.where(degen, 0.0, -dz_ * dy * inv)
+            e1z_ = jnp.where(degen, 0.0, sto)
+            e2x_ = jnp.where(degen, 0.0, -dy * inv)
+            e2y_ = jnp.where(degen, -dz_, dx * inv)
+            salpha = jnp.sqrt(jnp.maximum(1.0 - alpha * alpha, 0.0))
+            cb = jnp.cos(beta)
+            sb = jnp.sin(beta)
+            wx = salpha * (cb * e1x_ + sb * e2x_)
+            wy = salpha * (cb * e1y_ + sb * e2y_)
+            wz = salpha * (cb * e1z_)
+            nx = alpha * dx + wx
+            ny = alpha * dy + wy
+            nz = alpha * dz_ + wz
+            inv_n = 1.0 / jnp.sqrt(nx * nx + ny * ny + nz * nz)
+            return nx * inv_n, ny * inv_n, nz * inv_n
+
+        # ---- scattering-angle samplers (sampling.py) ----
+        def pint_at(cr, k):
+            return sel_cell(lambda i: sf[pint_off + 4 * i + k], cr)
+
+        def sample_beta(cr, stokes, u1, u2):
+            si_, sq, su, sv = stokes
+            p11 = pint_at(cr, 0); p12 = pint_at(cr, 1)
+            p13 = pint_at(cr, 2); p14 = pint_at(cr, 3)
+            a = p11 * si_ + p14 * sv
+            b = p12 * sq + p13 * su
+            cc = p12 * su - p13 * sq
+            a_safe = jnp.where(a == 0.0, 1.0, a)
+            target = u1 * a * np.float32(np.pi)
+            cum = [a * np.float32(_BETA_BASIS[0, j])
+                   + b * np.float32(_BETA_BASIS[1, j])
+                   + cc * np.float32(_BETA_BASIS[2, j]) for j in range(17)]
+            k_ = zi
+            for j in range(1, 16):
+                k_ = k_ + (cum[j] < target).astype(i32)
+            cum_lo = zf
+            cum_hi = zf
+            for j in range(17):
+                cum_lo = jnp.where(k_ == j, cum[j], cum_lo)
+                cum_hi = jnp.where(k_ + 1 == j, cum[j], cum_hi)
+            w_ = np.float32(np.pi / 16.0)
+            lo = k_.astype(f32) * w_
+            hi = lo + w_
+            dcum = cum_hi - cum_lo
+            beta = lo + w_ * jnp.where(
+                dcum > 0.0, (target - cum_lo) / jnp.where(dcum == 0.0, 1.0, dcum), 0.5)
+            gp_floor = 1e-12 * jnp.abs(a_safe)
+            for _ in range(3):
+                s2b = jnp.sin(2.0 * beta)
+                c2b = jnp.cos(2.0 * beta)
+                g = a * beta + 0.5 * b * s2b + 0.5 * cc * (1.0 - c2b) - target
+                gp = a + b * c2b + cc * s2b
+                lo = jnp.where(g < 0.0, beta, lo)
+                hi = jnp.where(g < 0.0, hi, beta)
+                beta_n = beta - g / jnp.maximum(gp, gp_floor)
+                bad = (beta_n < lo) | (beta_n > hi) | ~jnp.isfinite(beta_n)
+                beta = jnp.where(bad, 0.5 * (lo + hi), beta_n)
+            c2b = jnp.cos(2.0 * beta)
+            s2b = jnp.sin(2.0 * beta)
+            beta = jnp.where(u2 > 0.5, beta + np.float32(np.pi), beta)
+            beta = jnp.where(beta >= TWO_PI, np.float32(TWO_PI - 1.0e-10), beta)
+            beta = jnp.where(beta <= 0.0, 1.0e-10, beta)
+            return beta, c2b, s2b
+
+        def sample_alpha(cr, stokes, c2b, s2b, u3):
+            si_, sq, su, sv = stokes
+            wts = [si_, c2b * sq + s2b * su, -s2b * sq + c2b * su, sv]
+            act = spec.alpha_active
+
+            def wsum(read):
+                acc = zf
+                for k in act:
+                    acc = acc + wts[k] * read(k)
+                return acc
+
+            cum_c = []
+            for j in range(N_COARSE + 1):
+                if nr == 1:
+                    cum_c.append(wsum(lambda k, j=j: coarse[k * 16 + j]))
+                else:
+                    acc = zf
+                    for cell in range(nr):
+                        cm = cr == cell
+                        s = wsum(lambda k, j=j, cell=cell:
+                                 coarse[(cell * 4 + k) * 16 + j])
+                        acc = acc + jnp.where(cm, s, 0.0)
+                    cum_c.append(acc)
+            target = u3 * cum_c[N_COARSE]
+            k1 = zi
+            for j in range(1, N_COARSE):
+                k1 = k1 + (cum_c[j] < target).astype(i32)
+
+            cum_f = [zf for _ in range(N_FINE + 1)]
+            for cell in range(nr):
+                cm = (cr == cell) if nr > 1 else None
+                for bblk in range(N_COARSE):
+                    mb = (k1 == bblk) if cm is None else (cm & (k1 == bblk))
+                    mbf = mb.astype(f32)
+                    base = (cell * N_COARSE + bblk) * 4 * (N_FINE + 1)
+                    for j in range(N_FINE + 1):
+                        s = wsum(lambda k, j=j, base=base:
+                                 fine[base + k * (N_FINE + 1) + j])
+                        cum_f[j] = cum_f[j] + mbf * s
+            k2 = jnp.ones(dshape, i32)
+            for j in range(1, N_FINE):
+                k2 = k2 + (cum_f[j] < target).astype(i32)
+            cum_lo = zf
+            cum_hi = zf
+            for j in range(N_FINE + 1):
+                cum_lo = jnp.where(k2 - 1 == j, cum_f[j], cum_lo)
+                cum_hi = jnp.where(k2 == j, cum_f[j], cum_hi)
+            dcum = cum_hi - cum_lo
+            frac = (target - cum_lo) / jnp.where(dcum == 0.0, 1.0, dcum)
+            frac = jnp.where(dcum == 0.0, 0.5, frac)
+            alpha_deg = (k1 * N_FINE + k2 - 1).astype(f32) + frac
+            alpha = jnp.clip(jnp.cos(alpha_deg * np.float32(_DEG)),
+                             -1.0 + 1e-10, 1.0 - 1e-10)
+            return alpha, alpha_deg
+
+        # ---- detector peel prep (kernel.py _peel_photon_prep) ----
+        def peel_prep(px, py, pz, dx, dy, dz, cr, stokes):
+            eps = 1.0e-10
+            mu = dx * ddx + dy * ddy + dz * ddz
+            mu = jnp.clip(mu, -1.0 + eps, 1.0 - eps)
+            ent = matrix_at(cr, _acos(mu) * np.float32(1.0 / _DEG))
+            denom = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0)) * \
+                jnp.sqrt(jnp.maximum(1.0 - dz * dz, 0.0))
+            num = (ddz - dz * mu) / jnp.where(denom == 0.0, 1.0, denom)
+            cphi = jnp.clip(num, -1.0 + eps, 1.0 - eps)
+            flip = (dy * ddx - dx * ddy) > 0.0
+            sign = jnp.where(flip, -1.0, 1.0)
+            c2b = 2.0 * cphi * cphi - 1.0
+            s2b = 2.0 * cphi * jnp.sqrt(jnp.maximum(1.0 - cphi * cphi, 0.0)) * sign
+            so = polarization_rotation(mu, stokes, ent, dz, ddz, True,
+                                       c2b, s2b, sign)
+            # detector Q sign flip (ARTES.f90:4956)
+            contrib = (so[0], -so[1], so[2], so[3])
+            # single-pixel image bounds (kernel.py _pixel_index, npix == 1)
+            x_im = py * cp_d - px * sp_d
+            y_im = pz * st_d - py * ct_d * sp_d - px * ct_d * cp_d
+            ix = jnp.floor((x_im + x_max) / (2.0 * x_max))
+            iy = jnp.floor((y_im + y_max) / (2.0 * y_max))
+            pix_ok = (ix == 0.0) & (iy == 0.0)
+            return contrib, pix_ok
+
+        # ---- emission (kernel.py _emit, stellar) ----
+        def emit(k0, k1):
+            u1, u2 = R.uniform_n_kk(k0, k1, u32(0), 2, f32)
+            if spec.crescent:
+                u1 = 0.81 + 0.19 * u1
+            r_disk = jnp.sqrt(u1)
+            phi_disk = TWO_PI * u2
+            d1 = r_disk * jnp.sin(phi_disk)
+            d2 = r_disk * jnp.cos(phi_disk)
+            depth = jnp.sqrt(jnp.maximum(1.0 - d1 * d1 - d2 * d2, 0.0))
+            qx = d1 * e1x + d2 * e2x - depth * whx
+            qy = d1 * e1y + d2 * e2y - depth * why
+            qz = d1 * e1z + d2 * e2z - depth * whz
+            inv_s = (1.0 / ax, 1.0 / by, 1.0 / cz)
+            return (qx * inv_s[0], qy * inv_s[1], qz * inv_s[2])
+
+        # ---- the pool loop ----
+        round_cap = (n_photons // u32(width) + u32(2)) * u32(spec.max_scatter + 4)
+
+        def cond(c):
+            return ((c["n_emitted"] < n_photons) | (c["n_active"] > 0)) \
+                & (c["round"] < round_cap)
+
+        def body(c):
+            stage = c["stage"]
+            px, py, pz = c["px"], c["py"], c["pz"]
+            dx, dy, dz = c["dx"], c["dy"], c["dz"]
+            sI, sQ, sU, sV = c["sI"], c["sQ"], c["sU"], c["sV"]
+            ctr, pid = c["ctr"], c["pid"]
+            cr, fax, fidx = c["cr"], c["fax"], c["fidx"]
+            tau_first = c["tau_first"]
+            pre_surface = c["pre_surface"] != 0
+            n_scat = c["n_scat"]
+
+            # ---- refill dead lanes (rank = row-major exclusive prefix) ----
+            dead = stage == STAGE_DEAD
+            dead_f = dead.astype(f32)
+            within = jnp.dot(dead_f, lt_c[...], preferred_element_type=f32)
+            rows = jnp.sum(dead_f, axis=1, keepdims=True)
+            row_pre = jnp.dot(lt_r[...], rows, preferred_element_type=f32)
+            rank = (within + row_pre).astype(i32).astype(u32)
+            remaining = n_photons - c["n_emitted"]
+            refill = dead & (rank < remaining)
+            pid = jnp.where(refill, c["n_emitted"] + rank, pid)
+            n_emitted = c["n_emitted"] + jnp.sum(
+                refill.astype(i32), dtype=i32).astype(u32)
+            k0 = jnp.full(dshape, seed, u32)
+            k1 = pid
+
+            e_px, e_py, e_pz = emit(k0, k1)
+            px = jnp.where(refill, e_px, px)
+            py = jnp.where(refill, e_py, py)
+            pz = jnp.where(refill, e_pz, pz)
+            dx = jnp.where(refill, uhx, dx)
+            dy = jnp.where(refill, uhy, dy)
+            dz = jnp.where(refill, uhz, dz)
+            sI = jnp.where(refill, 1.0, sI)
+            sQ = jnp.where(refill, 0.0, sQ)
+            sU = jnp.where(refill, 0.0, sU)
+            sV = jnp.where(refill, 0.0, sV)
+            cr = jnp.where(refill, nr - 1, cr)
+            fax = jnp.where(refill, 1, fax)
+            fidx = jnp.where(refill, nr, fidx)
+            ctr = jnp.where(refill, u32(2), ctr)
+            tau_first = jnp.where(refill, 0.0, tau_first)
+            pre_surface = pre_surface & ~refill
+            n_scat = jnp.where(refill, 0, n_scat)
+            stage = jnp.where(refill, STAGE_PREWALK, stage)
+
+            live = stage == STAGE_LIVE
+            fw = stage == STAGE_FIRST_WALK
+            nb1 = stage == STAGE_PREWALK
+
+            d0, d1, d2, d3, d4 = R.uniform_n_kk(k0, k1, ctr, 5, f32)
+
+            # ---- LIVE: roulette + reweight + minimum ----
+            killed = live & (d0 < fstop)
+            alb = albedo_at(cr)
+            gamma = jnp.where((alb < 1.0) & (alb > 0.0), alb / (1.0 - fstop), 1.0)
+            lsurv0 = live & ~killed
+            sI = jnp.where(lsurv0, sI * gamma, sI)
+            sQ = jnp.where(lsurv0, sQ * gamma, sQ)
+            sU = jnp.where(lsurv0, sU * gamma, sU)
+            sV = jnp.where(lsurv0, sV * gamma, sV)
+            too_small = lsurv0 & (sI <= pmin)
+            live_surv = lsurv0 & ~too_small
+            stage = jnp.where(killed | too_small, STAGE_DEAD, stage)
+
+            # ---- LIVE: peel prep + scattering ----
+            stokes = (sI, sQ, sU, sV)
+            (pcI, pcQ, pcU, pcV), pix_ok = peel_prep(px, py, pz, dx, dy, dz,
+                                                     cr, stokes)
+            beta, c2b, s2b = sample_beta(cr, stokes, d1, d2)
+            alpha, alpha_deg = sample_alpha(cr, stokes, c2b, s2b, d3)
+            ndx, ndy, ndz = direction_cosine(alpha, beta, dx, dy, dz)
+            ent = matrix_at(cr, alpha_deg)
+            beta_sign = jnp.where(beta < np.float32(np.pi), 1.0, -1.0)
+            nI, nQ, nU, nV = polarization_rotation(alpha, stokes, ent, dz, ndz,
+                                                   False, c2b, s2b, beta_sign)
+            sI = jnp.where(live_surv, nI, sI)
+            sQ = jnp.where(live_surv, nQ, sQ)
+            sU = jnp.where(live_surv, nU, sU)
+            sV = jnp.where(live_surv, nV, sV)
+            tdx = jnp.where(live_surv, ndx, dx)
+            tdy = jnp.where(live_surv, ndy, dy)
+            tdz = jnp.where(live_surv, ndz, dz)
+            n_scat = n_scat + live_surv.astype(i32)
+
+            # ---- optical depth: sampled (LIVE) / forced-first (FIRST_WALK) ----
+            u_tau = jnp.where(live, d4, d0)
+            thin = tau_first < 1.0e-6
+            fw_drop = fw & thin & ~pre_surface
+            stage = jnp.where(fw_drop, STAGE_DEAD, stage)
+            fw_go = fw & ~fw_drop
+            forced = fw_go & ~thin & (tau_first < 50.0)
+            one_m_exp = 1.0 - jnp.exp(-tau_first)
+            tau = jnp.where(forced,
+                            -jnp.log(1.0 - u_tau * one_m_exp),
+                            -jnp.log(1.0 - u_tau))
+            sI = jnp.where(forced, sI * one_m_exp, sI)
+            sQ = jnp.where(forced, sQ * one_m_exp, sQ)
+            sU = jnp.where(forced, sU * one_m_exp, sU)
+            sV = jnp.where(forced, sV * one_m_exp, sV)
+            ctr = ctr + jnp.where(live, u32(5), u32(0)) \
+                + jnp.where(fw, u32(1), u32(0))
+
+            # ---- transport march ----
+            active_t = live_surv | fw_go
+            m_out = march(px, py, pz, tdx, tdy, tdz, cr, fax, fidx,
+                          tau, active_t, ctr)
+            ctr = m_out["ctr"]
+
+            # ---- peel/prewalk walk (scatter peel along det dir; prewalk
+            # along the photon's own direction) ----
+            peel_active = live_surv | nb1
+            pdx = jnp.where(nb1, dx, ddx)
+            pdy = jnp.where(nb1, dy, ddy)
+            pdz = jnp.where(nb1, dz, ddz)
+            peel = tau_walk(px, py, pz, pdx, pdy, pdz, cr, fax, fidx,
+                            peel_active)
+
+            # scatter-peel splat (single pixel)
+            w_peel = jnp.exp(-jnp.minimum(peel["tau"], 500.0))
+            ok = live_surv & peel["exited"] & (peel["tau"] < 50.0) \
+                & ~peel["err"] & pix_ok
+            accI = c["accI"] + jnp.where(ok, pcI * w_peel, 0.0)
+            accQ = c["accQ"] + jnp.where(ok, pcQ * w_peel, 0.0)
+            accU = c["accU"] + jnp.where(ok, pcU * w_peel, 0.0)
+            accV = c["accV"] + jnp.where(ok, pcV * w_peel, 0.0)
+            accI2 = c["accI2"] + jnp.where(ok, (pcI * w_peel) ** 2, 0.0)
+            accQ2 = c["accQ2"] + jnp.where(ok, (pcQ * w_peel) ** 2, 0.0)
+            accU2 = c["accU2"] + jnp.where(ok, (pcU * w_peel) ** 2, 0.0)
+            accV2 = c["accV2"] + jnp.where(ok, (pcV * w_peel) ** 2, 0.0)
+            accN = c["accN"] + ok.astype(i32)
+
+            # ---- prewalk results -> FIRST_WALK ----
+            tau_first = jnp.where(nb1, peel["tau"], tau_first)
+            pre_surface = (nb1 & peel["surface"]) | (~nb1 & pre_surface)
+            nb1_err = nb1 & peel["err"]
+            stage = jnp.where(nb1_err, STAGE_DEAD,
+                              jnp.where(nb1, STAGE_FIRST_WALK, stage))
+
+            # ---- transport outcomes + per-code tallies ----
+            terr = m_out["err"] & active_t
+            accErr = c["accErr"] + nb1_err.astype(i32) + terr.astype(i32)
+            acc031 = c["acc031"] + (m_out["e031"] & active_t).astype(i32) \
+                + nb1_err.astype(i32)
+            acc032 = c["acc032"] + (m_out["e032"] & active_t).astype(i32)
+            acc034 = c["acc034"] + (m_out["e034"] & active_t).astype(i32)
+            accPeel = c["accPeel"] + (peel["err"] & live_surv).astype(i32)
+
+            to_live = active_t & m_out["inter"] & ~m_out["err"]
+            stage = jnp.where(active_t,
+                              jnp.where(to_live, STAGE_LIVE, STAGE_DEAD), stage)
+            capped = (stage == STAGE_LIVE) & (n_scat >= spec.max_scatter)
+            accCap = c["accCap"] + capped.astype(i32)
+            stage = jnp.where(capped, STAGE_DEAD, stage)
+
+            return dict(
+                stage=stage, pid=pid, ctr=ctr,
+                px=m_out["px"], py=m_out["py"], pz=m_out["pz"],
+                dx=tdx, dy=tdy, dz=tdz,
+                sI=sI, sQ=sQ, sU=sU, sV=sV,
+                cr=m_out["cr"], fax=m_out["fax"], fidx=m_out["fidx"],
+                tau_first=tau_first, pre_surface=pre_surface.astype(i32),
+                n_scat=n_scat,
+                accI=accI, accQ=accQ, accU=accU, accV=accV,
+                accI2=accI2, accQ2=accQ2, accU2=accU2, accV2=accV2,
+                accN=accN, accErr=accErr, acc031=acc031, acc032=acc032,
+                acc034=acc034, accPeel=accPeel, accCap=accCap,
+                n_emitted=n_emitted,
+                n_active=jnp.sum((stage != STAGE_DEAD).astype(i32), dtype=i32),
+                round=c["round"] + u32(1),
+            )
+
+        init = dict(
+            stage=zi, pid=zu, ctr=zu,
+            px=zf, py=zf, pz=zf,
+            dx=zf + 1.0, dy=zf, dz=zf,
+            sI=zf, sQ=zf, sU=zf, sV=zf,
+            cr=zi, fax=zi, fidx=zi,
+            tau_first=zf, pre_surface=zi, n_scat=zi,
+            accI=zf, accQ=zf, accU=zf, accV=zf,
+            accI2=zf, accQ2=zf, accU2=zf, accV2=zf,
+            accN=zi, accErr=zi, acc031=zi, acc032=zi, acc034=zi,
+            accPeel=zi, accCap=zi,
+            n_emitted=u32(0), n_active=jnp.asarray(0, i32),
+            round=u32(0),
+        )
+        fin = jax.lax.while_loop(cond, body, init)
+
+        row = jax.lax.broadcasted_iota(i32, (8, 128), 0)
+        lane = jax.lax.broadcasted_iota(i32, (8, 128), 1)
+        outv = jnp.zeros((8, 128), f32)
+        for e, v in enumerate([fin["accI"], fin["accQ"], fin["accU"],
+                               fin["accV"], fin["accI2"], fin["accQ2"],
+                               fin["accU2"], fin["accV2"]]):
+            outv = jnp.where((row == 0) & (lane == e), jnp.sum(v, dtype=f32), outv)
+        outf[...] = outv
+
+        outw = jnp.zeros((8, 128), i32)
+        ints = [jnp.sum(fin["accErr"], dtype=i32), jnp.sum(fin["acc031"], dtype=i32),
+                jnp.sum(fin["acc032"], dtype=i32), jnp.sum(fin["acc034"], dtype=i32),
+                jnp.sum(fin["accPeel"], dtype=i32), jnp.sum(fin["accCap"], dtype=i32),
+                jnp.sum(fin["accN"], dtype=i32),
+                fin["n_emitted"].astype(i32), fin["round"].astype(i32)]
+        for e, v in enumerate(ints):
+            outw = jnp.where((row == 0) & (lane == e), v, outw)
+        outi[...] = outw
+
+    return kernel
+
+
+_FN_CACHE: dict = {}
+
+
+def _get_fn(spec: PallasSpec, width: int, interpret: bool):
+    key = (spec, width, interpret)
+    if key not in _FN_CACHE:
+        kern = _build_kernel(spec, width)
+        call = pl.pallas_call(
+            kern,
+            out_shape=(jax.ShapeDtypeStruct((8, 128), f32),
+                       jax.ShapeDtypeStruct((8, 128), i32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )
+        _FN_CACHE[key] = jax.jit(call)
+    return _FN_CACHE[key]
+
+
+def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed):
+    """Flatten the traced tables into the kernel's SMEM vectors."""
+    g = tables.grid
+    nr = spec.nr
+    u_hat, e1s, e2s, w_hat = _emit_basis(tables, spec)
+    sf = jnp.concatenate([
+        g.rfront.astype(f32),
+        tables.opacity.astype(f32),
+        tables.albedo.astype(f32),
+        tables.p_int.reshape(-1).astype(f32),
+        jnp.stack([tables.fstop, tables.photon_minimum,
+                   tables.x_max, tables.y_max]).astype(f32),
+        tables.det_dir.astype(f32),
+        tables.det_trig.astype(f32),
+        u_hat, e1s, e2s, w_hat,
+    ])
+    si = jnp.stack([jnp.asarray(n_photons, u32), jnp.asarray(seed, u32)])
+    prefix = tables.alpha_prefix.astype(f32)                 # (nr, 4, 181)
+    coarse = prefix[:, :, ::N_FINE].reshape(-1)              # (nr*4*16,)
+    body = prefix[:, :, :N_ANGLE].reshape(nr, 4, N_COARSE, N_FINE)
+    last = prefix[:, :, N_FINE::N_FINE].reshape(nr, 4, N_COARSE, 1)
+    fine = jnp.concatenate([body, last], axis=-1)            # (nr,4,15,13)
+    fine = jnp.swapaxes(fine, 1, 2).reshape(-1)              # (nr,15,4,13) flat
+    scat = tables.scatter_rows[:, jnp.asarray(distinct)].reshape(-1).astype(f32)
+    return sf, si, coarse, fine, scat
+
+
+def run_stream_pallas(tables, static, n_photons, seed, width: int,
+                      interpret: bool = False):
+    """Drop-in for :func:`kernel.run_stream` on supported configs.
+
+    Requires concrete (non-traced) tables — the wrapper specialises the
+    kernel on grid shape and scattering-matrix structure eagerly.
+    """
+    spec, distinct = make_spec(tables, static)
+    if width % 128 != 0:
+        raise ValueError("width must be a multiple of 128")
+    sf, si, coarse, fine, scat = _pack_inputs(tables, spec, distinct,
+                                              n_photons, seed)
+    lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
+    lt_r = jnp.asarray(np.tril(np.ones((width // 128, width // 128),
+                                       np.float32), -1))
+    outf, outi = _get_fn(spec, width, interpret)(sf, si, coarse, fine, scat,
+                                                 lt_c, lt_r)
+    detector = jnp.stack([outf[0, :4], outf[0, 4:8],
+                          jnp.broadcast_to(outi[0, 6].astype(f32), (4,))],
+                         axis=-1).reshape(1, 4, 3)
+    return {
+        "detector": detector,
+        "flow_global": jnp.zeros((1, 3), f32),
+        "flow_theta": jnp.zeros((1, 4), f32),
+        "flux_emitted": jnp.zeros((), f32),
+        "flux_exit": jnp.zeros((), f32),
+        "n_error": outi[0, 0],
+        "error_codes": jnp.stack([outi[0, 1], outi[0, 2], outi[0, 3],
+                                  outi[0, 4]]),
+        "n_alive_at_cap": outi[0, 5],
+        "n_emitted": outi[0, 7].astype(u32),
+        "n_rounds": outi[0, 8].astype(u32),
+    }

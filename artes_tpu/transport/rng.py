@@ -104,7 +104,18 @@ def uniform_n(keys, base_site, n: int, dtype=jnp.float32):
     Bitwise identical to ``[uniform(keys, base_site + i) for i in range(n)]``
     but shares hashes between site pairs (f32: n//2 + 1 hashes for n draws).
     """
-    k0, k1 = keys[..., 0], keys[..., 1]
+    return uniform_n_kk(keys[..., 0], keys[..., 1], base_site, n, dtype)
+
+
+def uniform_n_kk(k0, k1, base_site, n: int, dtype=jnp.float32):
+    """:func:`uniform_n` on separate key-component arrays.
+
+    ``k0``/``k1`` are uint32 arrays of any (broadcast-compatible) shape. This
+    component form is what the Pallas transport kernel calls — stacked
+    ``(..., 2)`` key arrays would force a 2-wide minor dimension into the
+    tiled TPU layout — and :func:`uniform_n` is a thin wrapper over it, so
+    both paths share one site->value mapping bit for bit.
+    """
     s = jnp.broadcast_to(jnp.asarray(base_site, jnp.uint32), k0.shape)
     if dtype == jnp.float64:
         out = []

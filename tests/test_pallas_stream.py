@@ -1,0 +1,87 @@
+"""Parity of the fused Pallas kernel against the XLA stream kernel.
+
+The Pallas kernel replays the identical threefry draw-site schedule, so for
+supported configs every photon's trajectory is bitwise the same and the
+detector tallies agree up to f32 summation order. Run in interpreter mode so
+the suite passes on the CPU mesh.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from artes_tpu import presets
+from artes_tpu.config import ArtesConfig, detector_setup
+from artes_tpu.runner import _kernel_static
+from artes_tpu.transport import pallas_stream as P
+from artes_tpu.transport.kernel import run_stream
+from artes_tpu.transport.tables import build_tables
+
+
+def _setup(tau=2.0, nr=1, preset=presets.rayleigh_single_layer):
+    atm = preset(tau=tau, nr=nr)
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    return static, prep
+
+
+def _compare(static, prep, n=384, width=256, seed=5):
+    ref = run_stream(prep.tables, static, n, seed, width)
+    out = P.run_stream_pallas(prep.tables, static, n, seed, width,
+                              interpret=True)
+    det_ref = np.asarray(ref["detector"], np.float64)
+    det_out = np.asarray(out["detector"], np.float64)
+    # identical photon streams: splat counts match exactly; the sums see
+    # f32 evaluation-order differences (MXU contractions vs scalar FMA
+    # chains in the CDF inversion) that perturb each contribution at ~1e-6,
+    # so value parity is a tolerance check
+    np.testing.assert_array_equal(det_out[..., 2], det_ref[..., 2])
+    np.testing.assert_allclose(det_out[..., 0], det_ref[..., 0],
+                               rtol=2e-3, atol=1e-3)
+    assert int(out["n_error"]) == int(ref["n_error"])
+    np.testing.assert_array_equal(np.asarray(out["error_codes"]),
+                                  np.asarray(ref["error_codes"]))
+    assert int(out["n_alive_at_cap"]) == int(ref["n_alive_at_cap"])
+    assert int(out["n_emitted"]) == n
+
+
+def test_supports_flagship():
+    static, prep = _setup()
+    assert P.supports(prep.tables, static)
+
+
+def test_pallas_matches_run_stream_rayleigh():
+    static, prep = _setup(tau=2.0)
+    _compare(static, prep)
+
+
+def test_pallas_matches_run_stream_thick():
+    static, prep = _setup(tau=5.0)
+    _compare(static, prep, n=256, width=128, seed=11)
+
+
+def test_pallas_matches_run_stream_multilayer_hg():
+    static, prep = _setup(tau=3.0, nr=4, preset=presets.hg_cloud_deck)
+    _compare(static, prep, n=256, width=128, seed=2)
+
+
+def test_pallas_unsupported_configs():
+    atm = presets.rayleigh_single_layer(tau=1.0)
+    cfg = ArtesConfig()
+    cfg.mode = "imaging_mono"
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    assert not P.supports(prep.tables, static)      # 625-pixel detector
+
+    atm3 = presets.thermal_shell()
+    cfg3 = ArtesConfig()
+    cfg3.mode = "spectrum"
+    cfg3.photon_source = "planet"
+    det3 = detector_setup(cfg3, float(atm3.rfront[-1]))
+    static3 = _kernel_static(cfg3, det3, atm3, False)
+    prep3 = build_tables(atm3, cfg3, det3, 0, dtype=jnp.float32)
+    assert not P.supports(prep3.tables, static3)    # thermal source
