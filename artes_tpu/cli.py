@@ -70,12 +70,17 @@ def run_main(argv=None):
     atm = load_artifact(os.path.join(atm_dir, "atmosphere.fits"))
     packages = int(args.photons)
 
-    # output tree + input snapshot (ARTES.f90:4271-4304)
+    # output tree + input snapshot: the FULL input tree, incl. opacity FITS
+    # and the atmosphere artifact, so the snapshot alone reproduces the run
+    # (the reference copies the whole input dir, ARTES.f90:4283-4293)
     dirs = out.OutputDirs(args.root, args.output)
-    for name in ("artes.in", "atmosphere.in", "atmosphere.dat", "pressureTemperature.dat"):
+    for name in sorted(os.listdir(atm_dir)):
         src = os.path.join(atm_dir, name)
         if os.path.isfile(src):
             shutil.copy(src, dirs.input)
+        elif os.path.isdir(src):
+            shutil.copytree(src, os.path.join(dirs.input, name),
+                            dirs_exist_ok=True)
     with open(os.path.join(dirs.input, "artes.in.effective"), "w") as fh:
         fh.write(snapshot(cfg))
 
@@ -114,6 +119,7 @@ def run_main(argv=None):
                   f"wavelengths", file=sys.stderr)
         det, results = runner.run_spectrum(atm, cfg, packages, wl_subset=todo,
                                            wavelength_batch=args.wl_batch, **kw)
+        res = None
         for wl, res in zip(todo, results):
             if wl == 0:
                 report.stage2(cfg, atm, det, packages, 0, res.cell_depth)
@@ -128,7 +134,10 @@ def run_main(argv=None):
             n_error += res.n_error
             error_codes += res.error_codes
             print(f"Wavelength: {wl_m * 1e6:7.3f} micron", file=sys.stderr)
-        report.stage3(cfg, atm, res, atm.n_wavelength - 1)
+        if res is not None:
+            report.stage3(cfg, atm, res, atm.n_wavelength - 1)
+        else:
+            print("resume: nothing to do", file=sys.stderr)
 
     elif cfg.mode == "imaging_mono":
         det, res = runner.run_imaging_mono(atm, cfg, packages, **kw)

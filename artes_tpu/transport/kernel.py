@@ -54,6 +54,12 @@ class KernelStatic:
     max_scatter: int = 128
     max_crossings: int = 64
     track_flow: bool = False
+    # accumulate detector moments in float64 (needs jax_enable_x64): makes the
+    # detector sum invariant to sharding/summation order at rtol ~1e-13, the
+    # multi-chip equality contract (per-lane physics stays in the table dtype).
+    # The analogue of the reference's double-precision detector_thread
+    # reduction (ARTES.f90:959-975).
+    det_f64: bool = False
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -141,6 +147,8 @@ def _splat(detector, pix, stokes4, mask, first_only: bool = False):
     else:
         feats = jnp.stack([valid, valid * valid, count], axis=-1)  # (B, 4, 3)
         feats = feats.reshape(feats.shape[0], 12)
+    # the accumulator may be wider than the per-lane physics (det_f64)
+    feats = feats.astype(detector.dtype)
 
     if npix == 1:
         # spectrum/photometry detector: a masked sum
@@ -684,7 +692,8 @@ def _start_impl(t: TransportTables, static: KernelStatic, photon_ids, seed):
     keys = R.photon_keys(seed, photon_ids)
     counter = jnp.asarray(0, jnp.uint32)
 
-    detector = jnp.zeros((static.nx * static.ny, 4, 3), dtype)
+    det_dtype = jnp.float64 if static.det_f64 else dtype
+    detector = jnp.zeros((static.nx * static.ny, 4, 3), det_dtype)
 
     pos, dirn, cell, face, bias_weight, counter = _emit(t, static, keys, counter, dtype)
     stokes = jnp.zeros((n, 4), dtype).at[:, 0].set(1.0)
@@ -934,7 +943,7 @@ STAGE_LIVE = 4
 
 
 def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
-                 width: int):
+                 width: int, id_hi=0, id_lo=0):
     dtype = t.opacity.dtype
     W = width
     grid = t.grid
@@ -969,9 +978,14 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         remaining = n_photons - c["n_emitted"]
         rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
         refill = dead & (rank.astype(u32) < remaining)
-        pid = jnp.where(refill, c["n_emitted"] + rank.astype(u32), pid)
+        # pid is the LOW word of the photon's 64-bit global id; the chunk
+        # base (id_hi, id_lo) comes from the caller, chunks never straddle a
+        # 2^32 boundary (runner aligns them), so no in-kernel carry
+        pid = jnp.where(refill,
+                        jnp.asarray(id_lo, u32) + c["n_emitted"]
+                        + rank.astype(u32), pid)
         n_emitted = c["n_emitted"] + jnp.sum(refill, dtype=u32)
-        keys = R.photon_keys(seed, pid)
+        keys = R.photon_keys(seed, pid, id_hi)
 
         e_pos, e_dir, e_cell, e_face, e_bias, e_counter = _emit(
             t, static, keys, u32(0), dtype)
@@ -1133,7 +1147,8 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         "pre_surface": jnp.zeros(W, bool),
         "n_scat": jnp.zeros(W, jnp.int32),
         "n_emitted": u32(0),
-        "detector": jnp.zeros((static.nx * static.ny, 4, 3), dtype),
+        "detector": jnp.zeros((static.nx * static.ny, 4, 3),
+                              jnp.float64 if static.det_f64 else dtype),
         "flow_g": jnp.zeros((ncell_flow, 3), dtype),
         "flow_t": jnp.zeros((ncell_flow, 4), dtype),
         "flux_emitted": jnp.zeros((), dtype),
@@ -1160,13 +1175,16 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
 
 @partial(jax.jit, static_argnums=(1, 4))
 def run_stream(tables: TransportTables, static: KernelStatic, n_photons, seed,
-               width: int):
+               width: int, id_hi=0, id_lo=0):
     """Transport ``n_photons`` photons through a fixed ``width`` lane pool
     with in-loop regeneration (single device dispatch, no host syncs).
 
     ``n_photons`` is traced (no recompile per photon count); ``width`` is
-    static. Returns the same tallies as :func:`run_batch` plus ``n_emitted``
-    and ``n_rounds``.
+    static. ``(id_hi, id_lo)`` is the 64-bit global id of the first photon
+    (traced uint32 words); the chunk [id, id+n) must not straddle a 2^32
+    boundary. Returns the same tallies as :func:`run_batch` plus
+    ``n_emitted`` and ``n_rounds``.
     """
     return _stream_impl(tables, static, jnp.asarray(n_photons, jnp.uint32),
-                        seed, width)
+                        seed, width, jnp.asarray(id_hi, jnp.uint32),
+                        jnp.asarray(id_lo, jnp.uint32))

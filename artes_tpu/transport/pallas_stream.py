@@ -209,7 +209,8 @@ def _build_kernel(spec: PallasSpec, width: int):
 
     def kernel(sf, si, coarse, fine, scat, lt_c, lt_r, outf, outi):
         n_photons = si[0]
-        seed = si[1]
+        seed = si[1]       # pre-mixed with the id high word (rng.key_hi)
+        id_lo = si[2]      # low word of the chunk's first global photon id
 
         # ---- scalar parameter loads (SMEM) ----
         off = 0
@@ -662,7 +663,7 @@ def _build_kernel(spec: PallasSpec, width: int):
             rank = (within + row_pre).astype(i32).astype(u32)
             remaining = n_photons - c["n_emitted"]
             refill = dead & (rank < remaining)
-            pid = jnp.where(refill, c["n_emitted"] + rank, pid)
+            pid = jnp.where(refill, id_lo + c["n_emitted"] + rank, pid)
             n_emitted = c["n_emitted"] + jnp.sum(
                 refill.astype(i32), dtype=i32).astype(u32)
             k0 = jnp.full(dshape, seed, u32)
@@ -873,7 +874,8 @@ def _get_fn(spec: PallasSpec, width: int, interpret: bool):
     return _FN_CACHE[key]
 
 
-def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed):
+def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed,
+                 id_hi=0, id_lo=0):
     """Flatten the traced tables into the kernel's SMEM vectors."""
     g = tables.grid
     nr = spec.nr
@@ -889,7 +891,8 @@ def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed):
         tables.det_trig.astype(f32),
         u_hat, e1s, e2s, w_hat,
     ])
-    si = jnp.stack([jnp.asarray(n_photons, u32), jnp.asarray(seed, u32)])
+    si = jnp.stack([jnp.asarray(n_photons, u32), R.key_hi(seed, id_hi),
+                    jnp.asarray(id_lo, u32)])
     prefix = tables.alpha_prefix.astype(f32)                 # (nr, 4, 181)
     coarse = prefix[:, :, ::N_FINE].reshape(-1)              # (nr*4*16,)
     body = prefix[:, :, :N_ANGLE].reshape(nr, 4, N_COARSE, N_FINE)
@@ -901,7 +904,7 @@ def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed):
 
 
 def run_stream_pallas(tables, static, n_photons, seed, width: int,
-                      interpret: bool = False):
+                      id_hi=0, id_lo=0, interpret: bool = False):
     """Drop-in for :func:`kernel.run_stream` on supported configs.
 
     Requires concrete (non-traced) tables — the wrapper specialises the
@@ -911,7 +914,7 @@ def run_stream_pallas(tables, static, n_photons, seed, width: int,
     if width % 128 != 0:
         raise ValueError("width must be a multiple of 128")
     sf, si, coarse, fine, scat = _pack_inputs(tables, spec, distinct,
-                                              n_photons, seed)
+                                              n_photons, seed, id_hi, id_lo)
     lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
     lt_r = jnp.asarray(np.tril(np.ones((width // 128, width // 128),
                                        np.float32), -1))

@@ -31,16 +31,31 @@ import numpy as np
 
 _U32 = np.uint32
 _PARITY = _U32(0x1BD11BDA)  # threefry key-schedule parity constant
+# golden-ratio Weyl constant: mixes the high id word into the key. Odd, so
+# hi -> seed + hi*GOLDEN is injective mod 2^32 — within one run every 64-bit
+# photon id gets a distinct (k0, k1) key pair.
+GOLDEN = _U32(0x9E3779B9)
 
 
-def photon_keys(seed, photon_ids):
+def photon_keys(seed, photon_ids, id_hi=0):
     """Per-photon key pair (k0, k1) from the run seed and global photon ids.
 
     Returns a (B, 2) uint32 array; ``photon_ids`` may be any integer dtype.
+
+    The global photon index is 64-bit — the reference carries an integer(16)
+    package counter (ARTES.f90:26, :4254) for >=1e10-photon runs — split as
+    (``id_hi``, ``photon_ids``) uint32 words. ``id_hi == 0`` (ids < 2^32)
+    reduces to k0 = seed bit-for-bit, so existing streams are unchanged.
     """
     pid = jnp.asarray(photon_ids, jnp.uint32)
-    k0 = jnp.broadcast_to(jnp.asarray(seed).astype(jnp.uint32), pid.shape)
+    k0 = jnp.broadcast_to(key_hi(seed, id_hi), pid.shape)
     return jnp.stack([k0, pid], axis=-1)
+
+
+def key_hi(seed, id_hi=0):
+    """Effective k0 for photons whose 64-bit id has high word ``id_hi``."""
+    return (jnp.asarray(seed).astype(jnp.uint32)
+            + jnp.asarray(id_hi).astype(jnp.uint32) * GOLDEN)
 
 
 def _rotl(x, r):

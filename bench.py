@@ -1,15 +1,20 @@
 """Benchmark: photon-transport throughput on the flagship config.
 
 Runs BASELINE config #1 (homogeneous Rayleigh layer, reflected-light Stokes
-spectrum) through the production kernel (``run_stream``, the regeneration
-kernel the runner dispatches by default) and prints ONE JSON line:
+spectrum) through the production kernel path — the fused Pallas pool kernel
+(``pallas_stream.run_stream_pallas``, what ``runner.run_wavelength``
+dispatches by default on supported configs) — and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "photons/s", "vs_baseline": N}
 
 ``vs_baseline`` measures against the BASELINE.json north star of 1e8 photon
 packets/s per chip. ``n_alive_at_cap`` reports photons truncated at the
-max_scatter cap (an accuracy knob); ``imaging_throughput`` exercises the
-25x25-pixel detector splat path so the flagship number is not flattered by
-the 1-pixel spectrum fast path.
+max_scatter cap (an accuracy knob; bias quantified in TRUNCATION.md);
+``imaging_throughput`` exercises the 25x25-pixel detector splat path so the
+flagship number is not flattered by the 1-pixel spectrum fast path.
+``xla_throughput`` is the XLA regeneration-kernel fallback on the same config,
+and ``pallas_vs_xla_I_rel`` the relative detector-I agreement between the two
+kernels at matched photon count (MC-noise-level by construction: same photon
+streams, f32 trajectory divergence only).
 
 The tunneled TPU on this machine can wedge (device errors leave the runtime
 hung); the measurement therefore runs in a watchdogged subprocess with
@@ -38,7 +43,8 @@ if platform == "cpu":
 
 from artes_tpu import presets
 from artes_tpu.config import ArtesConfig, detector_setup
-from artes_tpu.runner import _kernel_static
+from artes_tpu.runner import _kernel_static, PALLAS_WIDTH
+from artes_tpu.transport import pallas_stream
 from artes_tpu.transport.kernel import run_stream
 from artes_tpu.transport.tables import build_tables
 
@@ -59,25 +65,50 @@ def setup(mode, npix=25):
 # scalar to the host is the only reliable fence, so every timing below ends
 # with a float() fetch.
 
-def measure(static, prep, n, seed0):
-    out = run_stream(prep.tables, static, n, seed0, width)
+def measure(kern, static, prep, n, seed0, w):
+    out = kern(prep.tables, static, n, seed0, w)
     _ = float(jnp.sum(out["detector"]))  # warm-up + compile fence
     t0 = time.perf_counter()
-    out = run_stream(prep.tables, static, n, seed0 + 1, width)
+    out = kern(prep.tables, static, n, seed0 + 1, w)
     stat = [float(jnp.sum(out["detector"])), int(out["n_error"]),
             int(out["n_alive_at_cap"])]  # host fetch = completion fence
     dt = time.perf_counter() - t0
     return n / dt, out, stat
 
 static_s, prep_s = setup("spectrum")
-tp_spec, out, (det_sum, n_err, n_cap) = measure(static_s, prep_s, n_photons, 11)
+use_pallas = pallas_stream.supports(prep_s.tables, static_s) and platform != "cpu"
+if use_pallas:
+    kern_s = pallas_stream.run_stream_pallas
+    w_s = PALLAS_WIDTH
+else:
+    kern_s = run_stream
+    w_s = width
+tp_spec, out, (det_sum, n_err, n_cap) = measure(kern_s, static_s, prep_s,
+                                                n_photons, 11, w_s)
+
+# XLA-kernel reference point + kernel agreement at matched photon count
+n_x = min(n_photons, 1 << 22)
+tp_xla, out_x, (_, n_err_x, _) = measure(run_stream, static_s, prep_s,
+                                         n_x, 11, min(width, 1 << 16))
+if use_pallas:
+    out_p = pallas_stream.run_stream_pallas(prep_s.tables, static_s, n_x, 12,
+                                            PALLAS_WIDTH)
+    ip = float(np.asarray(out_p["detector"], np.float64)[0, 0, 0])
+    ix = float(np.asarray(out_x["detector"], np.float64)[0, 0, 0])
+    agree = abs(ip - ix) / abs(ix)
+else:
+    agree = 0.0
 
 static_i, prep_i = setup("imaging_mono", npix=25)
+n_img = max(min(n_photons // 16, 1 << 23), width)
 tp_img, out_i, (det_sum_i, n_err_i, n_cap_i) = measure(
-    static_i, prep_i, max(n_photons // 4, width), 23)
+    run_stream, static_i, prep_i, n_img, 23, width)
 
 print(json.dumps({
     "throughput": tp_spec,
+    "kernel": "pallas" if use_pallas else "xla",
+    "xla_throughput": tp_xla,
+    "pallas_vs_xla_I_rel": agree,
     "imaging_throughput": tp_img,
     "detector_I_raw": float(np.asarray(out["detector"], np.float64)[:, 0, 0].sum()),
     "device": str(jax.devices()[0]),
@@ -106,9 +137,9 @@ def _attempt(platform, n, width, timeout_s):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 24
-    width = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 18
-    plans = [("tpu", n, width, 1500), ("tpu", n // 8, width // 4, 600),
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 27
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 16
+    plans = [("tpu", n, width, 1500), ("tpu", n // 16, width // 4, 600),
              ("cpu", 1 << 16, 1 << 14, 900)]
     result = None
     used = None
@@ -131,8 +162,10 @@ def main():
         "unit": "photons/s",
         "vs_baseline": throughput / NORTH_STAR,
         "n_photons": used[1],
-        "width": used[2],
         "platform": used[0],
+        "kernel": result["kernel"],
+        "xla_throughput": result["xla_throughput"],
+        "pallas_vs_xla_I_rel": result["pallas_vs_xla_I_rel"],
         "imaging_throughput_25px": result["imaging_throughput"],
         "detector_I_raw": result["detector_I_raw"],
         "device": result["device"],
