@@ -58,6 +58,12 @@ def run_main(argv=None):
                         "(per-wavelength outputs are idempotent)")
     args = p.parse_args(argv)
 
+    if args.f64:
+        # without this, jnp.float64 silently degrades to f32 while the
+        # geometry tables still pick f64-sized epsilons — the worst of both
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
     import jax.numpy as jnp
 
     from artes_tpu.atmosphere import load_artifact

@@ -103,7 +103,11 @@ def make_grid_geometry(atm, oblateness=0.0, dtype=jnp.float64) -> tuple[GridGeom
     metres; all grid lengths are divided by it.
     """
     r_scale = float(atm.rfront[-1])
-    f64 = dtype == jnp.float64
+    # with jax_enable_x64 off, float64 arrays silently degrade to f32 — the
+    # epsilon tiers must follow the dtype that will actually execute, or f32
+    # math runs with f64-sized thresholds and geometry errors explode
+    f64 = (dtype == jnp.float64
+           and jnp.asarray(0.0, jnp.float64).dtype == jnp.float64)
     theta = np.asarray(atm.thetafront)
     rf = np.asarray(atm.rfront) / r_scale
     cone = (atm.thetaplane == 1).astype(float)

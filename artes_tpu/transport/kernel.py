@@ -129,6 +129,30 @@ def _pixel_index(t: TransportTables, static: KernelStatic, pos):
 ONEHOT_SPLAT_TILE = 256
 ONEHOT_SPLAT_LIMIT = 4096
 
+# The per-round one-hot einsum has a large fixed cost (~2.5 ms at any batch
+# under ~1M lanes; HBM-bound at ~339M lanes/s above that). The stream kernel
+# therefore BUFFERS the per-round scatter-peel records (pixel id + weighted
+# Stokes 4-vector) in the loop carry and flushes them through one big einsum
+# every SPLAT_BUFFER_TARGET/width rounds — measured 7x on the 25x25 imaging
+# config vs the per-round tiled einsum.
+SPLAT_BUFFER_TARGET = 1 << 20
+
+
+def _flush_records(detector, rec_pix, rec_stokes):
+    """Bin buffered peel records into the detector: one (K*W, npix) one-hot
+    einsum. ``rec_pix`` (K, W) holds -1 for empty/invalid records."""
+    npix = detector.shape[0]
+    pix = rec_pix.reshape(-1)
+    st = rec_stokes.reshape(-1, 4)
+    cnt = (pix >= 0).astype(st.dtype)
+    feats = jnp.stack([st, st * st,
+                       jnp.broadcast_to(cnt[:, None], st.shape)], axis=-1)
+    feats = feats.reshape(-1, 12).astype(detector.dtype)
+    oh = (pix[:, None] == jnp.arange(npix)[None, :])
+    contrib = jnp.einsum("bp,bf->pf", oh.astype(feats.dtype), feats,
+                         preferred_element_type=feats.dtype)
+    return detector + contrib.reshape(npix, 4, 3)
+
 
 def _splat(detector, pix, stokes4, mask, first_only: bool = False):
     """Accumulate (flux, flux^2, count) x 4 Stokes at pixel indices.
@@ -966,6 +990,13 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
     # runaway guard only; real termination is "all photons emitted and dead"
     round_cap = (n_photons // u32(W) + u32(2)) * u32(static.max_scatter + 4)
 
+    # scatter-peel record buffering (see SPLAT_BUFFER_TARGET): K rounds of
+    # (pix, weighted Stokes) per lane, flushed by one big one-hot einsum
+    npix = static.nx * static.ny
+    buffer_k = 1
+    if npix > 1:
+        buffer_k = max(1, min(64, SPLAT_BUFFER_TARGET // W))
+
     det_dir_b = jnp.broadcast_to(t.det_dir, (W, 3)).astype(dtype)
 
     def cond(c):
@@ -1084,8 +1115,28 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         # scatter peel splat (ARTES.f90:4945-4984)
         w_peel = jnp.exp(-jnp.minimum(peel["tau"], 500.0))
         ok_peel = live_surv & peel["exited"] & (peel["tau"] < 50.0) & ~peel["error"]
-        detector = _splat(detector, peel_pix,
-                          peel_contrib * w_peel[:, None], ok_peel)
+        if buffer_k > 1:
+            slot = (c["round"] % u32(buffer_k)).astype(jnp.int32)
+            contrib = jnp.where(ok_peel[:, None],
+                                peel_contrib * w_peel[:, None], 0.0)
+            pixrec = jnp.where(ok_peel & (peel_pix >= 0), peel_pix, -1)
+            zero = jnp.zeros((), slot.dtype)
+            rec_pix = jax.lax.dynamic_update_slice(
+                c["rec_pix"], pixrec[None].astype(jnp.int32), (slot, zero))
+            rec_st = jax.lax.dynamic_update_slice(
+                c["rec_stokes"], contrib[None].astype(c["rec_stokes"].dtype),
+                (slot, zero, zero))
+            # flush clears the pix buffer, else the final post-loop flush
+            # would re-bin slots left over from the previous cycle
+            detector, rec_pix = jax.lax.cond(
+                slot == buffer_k - 1,
+                lambda det, rp: (_flush_records(det, rp, rec_st),
+                                 jnp.full_like(rp, -1)),
+                lambda det, rp: (det, rp), detector, rec_pix)
+        else:
+            rec_pix = rec_st = None
+            detector = _splat(detector, peel_pix,
+                              peel_contrib * w_peel[:, None], ok_peel)
 
         error_codes = c["error_codes"]
         if thermal:
@@ -1130,7 +1181,7 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         n_cap = c["n_alive_at_cap"] + jnp.sum(capped, dtype=jnp.int32)
         stage = jnp.where(capped, STAGE_DEAD, stage)
 
-        return {
+        out = {
             "stage": stage, "pid": pid, "counter": counter,
             "pos": m_out["pos"], "dirn": m_out["dirn"], "cell": m_out["cell"],
             "face": m_out["face"], "stokes": m_out["stokes"],
@@ -1143,6 +1194,10 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
             "n_alive_at_cap": n_cap,
             "round": c["round"] + u32(1),
         }
+        if buffer_k > 1:
+            out["rec_pix"] = rec_pix
+            out["rec_stokes"] = rec_st
+        return out
 
     init = {
         "stage": jnp.zeros(W, jnp.int32),
@@ -1168,7 +1223,14 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         "n_alive_at_cap": jnp.zeros((), jnp.int32),
         "round": u32(0),
     }
+    if buffer_k > 1:
+        init["rec_pix"] = jnp.full((buffer_k, W), -1, jnp.int32)
+        init["rec_stokes"] = jnp.zeros((buffer_k, W, 4), dtype)
     out = jax.lax.while_loop(cond, body, init)
+    if buffer_k > 1:
+        # bin whatever the last partial buffer cycle left behind
+        out["detector"] = _flush_records(out["detector"], out["rec_pix"],
+                                         out["rec_stokes"])
     return {
         "detector": out["detector"],
         "flow_global": out["flow_g"],
