@@ -108,6 +108,11 @@ def run_main(argv=None):
     out.write_plot_dat(dirs, cfg, atm, det)
     n_error = 0
     error_codes = np.zeros(4, np.int64)
+    error_records = []
+
+    def _rec(res):
+        if len(error_records) < 8 and getattr(res, "error_records", None) is not None:
+            error_records.extend(list(res.error_records))
 
     if cfg.mode == "spectrum":
         done = set()
@@ -139,6 +144,7 @@ def run_main(argv=None):
                 out.write_luminosity(dirs, wl_m, res, packages)
             n_error += res.n_error
             error_codes += res.error_codes
+            _rec(res)
             print(f"Wavelength: {wl_m * 1e6:7.3f} micron", file=sys.stderr)
         if res is not None:
             report.stage3(cfg, atm, res, atm.n_wavelength - 1)
@@ -164,6 +170,7 @@ def run_main(argv=None):
                                        res.cell_depth)
         n_error += res.n_error
         error_codes += res.error_codes
+        _rec(res)
         report.stage3(cfg, atm, res)
 
     elif cfg.mode == "imaging_broad":
@@ -174,6 +181,7 @@ def run_main(argv=None):
             out.write_optical_depth(dirs, atm, wl)
             n_error += res.n_error
             error_codes += res.error_codes
+            _rec(res)
         report.stage3(cfg, atm, summed)
 
     elif cfg.mode == "phase":
@@ -185,6 +193,7 @@ def run_main(argv=None):
                 out.write_normalization(dirs, cfg, atm, atm.wavelengths[0])
             n_error += res.n_error
             error_codes += res.error_codes
+            _rec(res)
             print(f"\rPhase angle: {ang:6.1f} degrees", end="", file=sys.stderr)
         print(file=sys.stderr)
 
@@ -195,7 +204,7 @@ def run_main(argv=None):
             ("031/geometry no-candidate", "032/runaway traversal",
              "034/degenerate surface bounce", "05x/peel walk"), error_codes)
             if cnt]
-        out.write_error_log(dirs, entries)
+        out.write_error_log(dirs, entries, error_records[:8])
     report.stage4(n_error)
     out.send_completion_email(cfg, args.output)
     return 0

@@ -258,14 +258,28 @@ def _column_depths(atm, wl_index, kind, cell_from):
     return atm.column_optical_depth(wl_index, kind, cell_from)
 
 
-def write_error_log(dirs: OutputDirs, entries):
-    """error.log: numbered error tallies (the reference's per-event append log,
-    ARTES.f90:426-428; here aggregated counts per code)."""
+_ERR_SITES = {0: "scatter march", 1: "first walk", 2: "prewalk",
+              3: "detector peel"}
+
+
+def write_error_log(dirs: OutputDirs, entries, records=None):
+    """error.log: numbered error tallies plus the first captured error-event
+    state dumps (the reference appends position/direction/cell per geometry
+    failure, ARTES.f90:3397-3416; here per-code counts + first-K forensics)."""
     path = os.path.join(dirs.base, "error.log")
     with open(path, "a") as fh:
         for code, count in entries:
             if count:
                 fh.write(f"error {code} x{count}\n")
+        for row in (records if records is not None else []):
+            code, pid = int(row[0]), int(row[1])
+            fh.write(
+                f"error {code:03d} photon {pid} at {_ERR_SITES.get(int(row[15]), '?')}:"
+                f" pos=({row[2]:.9e}, {row[3]:.9e}, {row[4]:.9e})"
+                f" dir=({row[5]:.6f}, {row[6]:.6f}, {row[7]:.6f})"
+                f" cell=({int(row[8])}, {int(row[9])}, {int(row[10])})"
+                f" face=({int(row[11])}, {int(row[12])})"
+                f" I={row[13]:.6e} n_scat={int(row[14])}\n")
     return path
 
 

@@ -79,6 +79,9 @@ class WavelengthResult:
         default_factory=lambda: np.zeros(4, np.int64))
     flow_global: np.ndarray | None = None   # (nr, ntheta, nphi, 3)
     flow_theta: np.ndarray | None = None    # (nr, ntheta, nphi, 4)
+    # first-K error-event state dumps (kernel.ERR_RECORD_W columns each)
+    error_records: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 16)))
 
 
 def _kernel_static(cfg: ArtesConfig, det: DetectorSetup, atm, crescent: bool) -> KernelStatic:
@@ -121,6 +124,13 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
     n_error = 0
     n_alive = 0
     error_codes = np.zeros(4, np.int64)
+    error_records = []
+
+    def _collect(out):
+        if "error_records" in out and len(error_records) < 8:
+            k = int(out["n_error_records"])
+            if k:
+                error_records.append(np.asarray(out["error_records"])[:k])
     if dispatch is None:
         # default: the regeneration kernel — a fixed-width lane pool with
         # in-loop refill (one device dispatch per <=2^30-photon chunk, ~100 %
@@ -162,6 +172,7 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
             n_error += int(out["n_error"])
             n_alive += int(out["n_alive_at_cap"])
             error_codes += np.asarray(out["error_codes"], np.int64)
+            _collect(out)
             start += n
     else:
         # explicit dispatch (device-mesh sharding, compaction, tests).
@@ -184,6 +195,7 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
             n_error += int(out["n_error"])
             n_alive += int(out["n_alive_at_cap"])
             error_codes += np.asarray(out["error_codes"], np.int64)
+            _collect(out)
             start += n
 
     e_pack = package_energy(cfg, atm, wl_index, packages,
@@ -202,6 +214,8 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
         cell_depth=prep.cell_depth, prep=prep, error_codes=error_codes,
         flow_global=flow_g.reshape(shape3 + (3,)) if static.track_flow else None,
         flow_theta=flow_t.reshape(shape3 + (4,)) if static.track_flow else None,
+        error_records=(np.concatenate(error_records)[:8] if error_records
+                       else np.zeros((0, 16))),
     )
 
 

@@ -401,6 +401,37 @@ def cell_face(g: GridGeometry, pos, dirn, cell, cur_face, cell_depth):
     }
 
 
+def heal_cell(g: GridGeometry, pos, cell, active):
+    """Re-locate lanes whose tracked radial cell disagrees with the position.
+
+    Float32 transport mislocates limb photons: the quadratic roots of a
+    near-tangent sphere intersection carry O(sqrt(eps_f32)) ~ 3e-4 relative
+    error, so the forced-first-interaction step can land a photon half a cell
+    below its tracked cell. Every later peel walk from the inconsistent
+    (pos, cell) state then fails (error 050 storms; measured 3.4k drops per
+    20k photons on a thin-shell imaging config). The reference never sees
+    this because f64 tangent roots err at ~1e-8 (ARTES.f90:2800-3470).
+
+    Re-derives all three indices from the position, but only for ``active``
+    lanes whose radius is outside the tracked cell by more than ``sel1`` —
+    consistent lanes (and therefore f64 runs) are untouched bit-for-bit.
+    """
+    a, b, c = g.ob_ax, g.ob_by, g.ob_cz
+    x = pos[..., 0] * a
+    y = pos[..., 1] * b
+    z = pos[..., 2] * c
+    rho = jnp.sqrt(x * x + y * y + z * z)
+    cr = cell[..., 0]
+    r_lo = g.rfront[jnp.clip(cr, 0, g.nr - 1)]
+    r_hi = g.rfront[jnp.clip(cr + 1, 0, g.nr)]
+    bad = active & ((rho < r_lo - g.sel1) | (rho > r_hi + g.sel1))
+    r_idx = jnp.clip(
+        jnp.searchsorted(g.rfront, rho, side="right").astype(jnp.int32) - 1,
+        0, g.nr - 1)
+    located = locate_cell(g, pos, r_idx)
+    return jnp.where(bad[..., None], located, cell)
+
+
 def locate_cell(g: GridGeometry, pos, radial_index):
     """Find the (theta, phi) cell of a point; radial index supplied by the
     caller (nr-1 for stellar entry, sampled for thermal; ARTES.f90:2605-2669).

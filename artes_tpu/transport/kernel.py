@@ -129,6 +129,10 @@ def _pixel_index(t: TransportTables, static: KernelStatic, pos):
 ONEHOT_SPLAT_TILE = 256
 ONEHOT_SPLAT_LIMIT = 4096
 
+# first-K error-event state capture (see _stream_impl)
+ERR_RECORD_K = 8
+ERR_RECORD_W = 16   # [code, pid, pos3, dir3, cell3, face2, stokesI, n_scat, site, 0]
+
 # The per-round one-hot einsum has a large fixed cost (~2.5 ms at any batch
 # under ~1M lanes; HBM-bound at ~339M lanes/s above that). The stream kernel
 # therefore BUFFERS the per-round scatter-peel records (pixel id + weighted
@@ -818,6 +822,10 @@ def _scatter_rounds_impl(t: TransportTables, static: KernelStatic, state, seed,
             alive = c["alive"]
             counter = c["counter"]
             stokes = c["stokes"]
+            # heal (pos, cell) inconsistencies from f32 tangent-root error
+            # before anything reads the cell (see geometry.heal_cell)
+            cell_h = G.heal_cell(t.grid, c["pos"], c["cell"], alive)
+            c = {**c, "cell": cell_h}
             # the round's five draws (sites counter..counter+4) in one batch:
             # roulette, beta x2, alpha, next optical depth
             u_r, u1, u2, u3, u_t2 = R.uniform_n(keys, counter, 5, dtype)
@@ -997,6 +1005,12 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
     if npix > 1:
         buffer_k = max(1, min(64, SPLAT_BUFFER_TARGET // W))
 
+    # error forensics: state dump of the first ERR_RECORD_K error events
+    # (the reference writes position/direction/cell per geometry failure,
+    # ARTES.f90:3397-3416). One record per round at most — error rounds are
+    # rare and the capture branch only executes on them (lax.cond).
+    erK = ERR_RECORD_K
+
     det_dir_b = jnp.broadcast_to(t.det_dir, (W, 3)).astype(dtype)
 
     def cond(c):
@@ -1052,6 +1066,10 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         fw = stage == STAGE_FIRST_WALK
         nb1 = stage == STAGE_PREWALK
         nb0 = stage == STAGE_BIRTH_PEEL
+
+        # heal (pos, cell) inconsistencies from f32 tangent-root error before
+        # anything reads the cell (see geometry.heal_cell)
+        cell = G.heal_cell(grid, pos, cell, live)
 
         # the round's draws (sites counter..counter+4) in one batch; FIRST_WALK
         # lanes use site counter+0 for their forced optical depth instead
@@ -1169,6 +1187,53 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
             jnp.sum(m_out["e032"] & active_t, dtype=jnp.int32),
             jnp.sum(m_out["e034"] & active_t, dtype=jnp.int32),
             jnp.sum(peel["error"] & live_surv, dtype=jnp.int32)])
+
+        # ---- first-K error forensics (ARTES.f90:3397-3416) ----
+        peel_err = peel["error"] & live_surv
+        any_err = terr | nb1_err | peel_err
+
+        def capture(ops):
+            rec, n_rec = ops
+            lane = jnp.argmax(any_err)
+            code = jnp.where(terr[lane],
+                             jnp.where(m_out["e031"][lane], 31.0,
+                                       jnp.where(m_out["e034"][lane], 34.0,
+                                                 32.0)),
+                             jnp.where(nb1_err[lane], 31.0, 50.0))
+            site = jnp.where(terr[lane], jnp.where(fw[lane], 1.0, 0.0),
+                             jnp.where(nb1_err[lane], 2.0, 3.0))
+            fdt = rec.dtype
+            # transport errors dump the post-march state (where the walk
+            # failed); peel/prewalk errors dump the walk's INPUT state (the
+            # scatter position the failing walk started from)
+            tl = terr[lane]
+
+            def sel(post, pre):
+                return jnp.where(tl, post[lane].astype(fdt),
+                                 pre[lane].astype(fdt))
+
+            row = jnp.stack([
+                code, pid[lane].astype(fdt),
+                sel(m_out["pos"][:, 0], pos[:, 0]),
+                sel(m_out["pos"][:, 1], pos[:, 1]),
+                sel(m_out["pos"][:, 2], pos[:, 2]),
+                m_out["dirn"][lane, 0].astype(fdt),
+                m_out["dirn"][lane, 1].astype(fdt),
+                m_out["dirn"][lane, 2].astype(fdt),
+                sel(m_out["cell"][:, 0], cell[:, 0]),
+                sel(m_out["cell"][:, 1], cell[:, 1]),
+                sel(m_out["cell"][:, 2], cell[:, 2]),
+                sel(m_out["face"][:, 0], face[:, 0]),
+                sel(m_out["face"][:, 1], face[:, 1]),
+                m_out["stokes"][lane, 0].astype(fdt),
+                n_scat[lane].astype(fdt), site])
+            rec = jax.lax.dynamic_update_slice(
+                rec, row[None], (n_rec, jnp.zeros((), n_rec.dtype)))
+            return rec, n_rec + 1
+
+        err_rec, n_err_rec = jax.lax.cond(
+            jnp.any(any_err) & (c["n_err_rec"] < erK),
+            capture, lambda ops: ops, (c["err_rec"], c["n_err_rec"]))
         if thermal:
             flux_exit = flux_exit + jnp.sum(
                 jnp.where(m_out["exited"] & active_t, m_out["stokes"][:, 0], 0.0))
@@ -1197,6 +1262,8 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         if buffer_k > 1:
             out["rec_pix"] = rec_pix
             out["rec_stokes"] = rec_st
+        out["err_rec"] = err_rec
+        out["n_err_rec"] = n_err_rec
         return out
 
     init = {
@@ -1226,6 +1293,8 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
     if buffer_k > 1:
         init["rec_pix"] = jnp.full((buffer_k, W), -1, jnp.int32)
         init["rec_stokes"] = jnp.zeros((buffer_k, W, 4), dtype)
+    init["err_rec"] = jnp.zeros((ERR_RECORD_K, ERR_RECORD_W), dtype)
+    init["n_err_rec"] = jnp.zeros((), jnp.int32)
     out = jax.lax.while_loop(cond, body, init)
     if buffer_k > 1:
         # bin whatever the last partial buffer cycle left behind
@@ -1233,6 +1302,8 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
                                          out["rec_stokes"])
     return {
         "detector": out["detector"],
+        "error_records": out["err_rec"],
+        "n_error_records": out["n_err_rec"],
         "flow_global": out["flow_g"],
         "flow_theta": out["flow_t"],
         "flux_emitted": out["flux_emitted"],

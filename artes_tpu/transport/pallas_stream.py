@@ -708,6 +708,19 @@ def _build_kernel(spec: PallasSpec, width: int):
             fw = stage == STAGE_FIRST_WALK
             nb1 = stage == STAGE_PREWALK
 
+            # heal (pos, cell) inconsistencies from f32 tangent-root error
+            # (see geometry.heal_cell); radial-only grid: one searchsorted
+            # equivalent over the nr faces
+            rho = jnp.sqrt(a2 * px * px + b2 * py * py + c2 * pz * pz)
+            rp0 = sel_cell(lambda i: rf[i], cr)
+            rp1 = sel_cell(lambda i: rf[i + 1], cr)
+            bad = live & ((rho < rp0 - spec.sel1) | (rho > rp1 + spec.sel1))
+            if nr > 1:
+                cr_loc = zi
+                for i in range(1, nr):
+                    cr_loc = cr_loc + (rho >= rf[i]).astype(i32)
+                cr = jnp.where(bad, cr_loc, cr)
+
             d0, d1, d2, d3, d4 = R.uniform_n_kk(k0, k1, ctr, 5, f32)
 
             # ---- LIVE: roulette + reweight + minimum ----
