@@ -56,6 +56,9 @@ def run_main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="skip wavelengths already present in spectrum.dat "
                         "(per-wavelength outputs are idempotent)")
+    p.add_argument("--progress", action="store_true",
+                   help="per-chunk progress ticker on stderr (always on when "
+                        "stderr is a tty; the reference's 20..100%% lines)")
     args = p.parse_args(argv)
 
     if args.f64:
@@ -100,7 +103,7 @@ def run_main(argv=None):
         args.batch_size = round_up_batch(args.batch_size, mesh.devices.size)
 
     kw = dict(seed=args.seed, batch_size=args.batch_size, dtype=dtype,
-              dispatch=dispatch)
+              dispatch=dispatch, progress=sys.stderr.isatty() or args.progress)
 
     det = detector_setup(cfg, float(atm.rfront[-1]))
     report = out.RunReport(dirs, cfg.log_file)

@@ -103,7 +103,8 @@ def _kernel_static(cfg: ArtesConfig, det: DetectorSetup, atm, crescent: bool) ->
 def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
                    packages: int, seed: int = 0, batch_size: int = 1 << 17,
                    dtype=jnp.float64, crescent: bool = False,
-                   dispatch=None, use_pallas: bool | None = None) -> WavelengthResult:
+                   dispatch=None, use_pallas: bool | None = None,
+                   progress: bool = False) -> WavelengthResult:
     """Transport ``packages`` photons at one wavelength.
 
     ``dispatch(tables, static, photon_ids, seed)`` may be supplied to run the
@@ -158,9 +159,18 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
         # integer(16) package counter, ARTES.f90:26, :4254). Chunk starts are
         # 2^30-aligned, so a chunk never straddles a 2^32 id boundary.
         kern = pallas_stream.run_stream_pallas if use_pallas else run_stream
+        # the chunking is semantics-free (continuous global photon ids), so
+        # progress mode splits the run into >=5 chunks for a host-side ticker
+        # (the reference's 20/40/../100% lines, ARTES.f90:571-590)
+        chunk = 1 << 30
+        if progress:
+            # never chunk below the pool width (an underfilled pool wastes
+            # lanes); runs >= 5x width get >= 5 ticks
+            chunk = min(chunk, max(width, -(-packages // 5)))
         start = 0
         while start < packages:
-            n = min(1 << 30, packages - start)
+            n = min(chunk, packages - start,
+                    (1 << 32) - (start & 0xFFFFFFFF))
             out = kern(prep.tables, static, n, seed, width,
                        start >> 32, start & 0xFFFFFFFF)
             detector += np.asarray(out["detector"], np.float64)
@@ -174,6 +184,11 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
             error_codes += np.asarray(out["error_codes"], np.int64)
             _collect(out)
             start += n
+            if progress:
+                import sys
+                print(f"  [{100 * start // packages:3d}%] "
+                      f"{start:,} / {packages:,} photons",
+                      file=sys.stderr, flush=True)
     else:
         # explicit dispatch (device-mesh sharding, compaction, tests).
         # Photon ids are the low id word; the high word folds into the key,
@@ -298,7 +313,7 @@ def run_spectrum(atm, cfg, packages, seed=0, wavelength_batch=False,
 
 def _run_wavelengths_vmapped(atm, cfg, det, packages, seed, wls=None,
                              batch_size=1 << 17, dtype=jnp.float64,
-                             dispatch=None):
+                             dispatch=None, progress=False):
     import jax
 
     wls = list(range(atm.n_wavelength)) if wls is None else wls
