@@ -90,6 +90,8 @@ class PallasSpec:
     scat_reps: tuple
     n_distinct: int
     alpha_active: tuple  # indices of nonzero alpha-CDF weight rows
+    nx: int = 1          # detector pixels (imaging runs through the
+    ny: int = 1          # segmented kernel + XLA record flush)
 
 
 def supports(tables, static) -> bool:
@@ -102,7 +104,7 @@ def supports(tables, static) -> bool:
     return (static.photon_source == 1
             and static.photon_scattering
             and not static.track_flow
-            and static.nx * static.ny == 1
+            and 1 <= static.nx * static.ny <= 2048
             and g.ntheta == 1 and g.nphi == 1 and 1 <= g.nr <= 32
             and tables.opacity.dtype == jnp.float32
             and sa == 0.0)
@@ -144,6 +146,7 @@ def make_spec(tables, static) -> PallasSpec:
         boundary_tol=g.boundary_tol,
         scat_reps=tuple(reps), n_distinct=len(distinct),
         alpha_active=alpha_active,
+        nx=static.nx, ny=static.ny,
     ), distinct
 
 
@@ -186,8 +189,18 @@ def _acos(x):
     return jnp.where(x < 0.0, np.pi - r, r)
 
 
-def _build_kernel(spec: PallasSpec, width: int):
-    """Construct the Pallas kernel body for one (spec, width)."""
+def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
+    """Construct the Pallas kernel body for one (spec, width).
+
+    ``seg_k`` switches to the SEGMENTED multi-pixel form: the pool state
+    rides in via 19 input refs and out via 19 output refs, the loop runs at
+    most ``seg_k`` rounds, and instead of in-kernel accumulators the kernel
+    emits per-round scatter-peel RECORDS (pixel id + weighted Stokes) that
+    the host wrapper flushes through one large XLA one-hot einsum — building
+    a (lanes, npix) one-hot inside Mosaic is pathologically slow (measured
+    460-880 us/round: inserting a minor dim relayouts every element), while
+    the XLA einsum runs at ~340M records/s above 1M records.
+    """
     C = 128
     RR = width // C
     nr = spec.nr
@@ -214,7 +227,19 @@ def _build_kernel(spec: PallasSpec, width: int):
     nch_m = -(-(nr * N_ANGLE) // 128)      # scattering-matrix bin chunks
     nch_f = -(-(nr * N_COARSE) // 128)     # fine-CDF block chunks
 
-    def kernel(sf, si, coarse, gt, lt_c, lt_r, outf, outi):
+    # pool-state fields round-tripped through refs in segmented mode
+    _STATE = ("stage", "pid", "ctr", "px", "py", "pz", "dx", "dy", "dz",
+              "sI", "sQ", "sU", "sV", "cr", "fax", "fidx", "tau_first",
+              "pre_surface", "n_scat")
+
+    def kernel(sf, si, coarse, gt, lt_c, lt_r, *rest):
+        if seg_k is None:
+            outf, outi = rest
+        else:
+            st_in = rest[:19]
+            st_out = rest[19:38]
+            outi = rest[38]
+            rec_refs = rest[39:44]     # pix, I, Q, U, V
         n_photons = si[0]
         seed = si[1]       # pre-mixed with the id high word (rng.key_hi)
         id_lo = si[2]      # low word of the chunk's first global photon id
@@ -627,13 +652,17 @@ def _build_kernel(spec: PallasSpec, width: int):
                                        c2b, s2b, sign)
             # detector Q sign flip (ARTES.f90:4956)
             contrib = (so[0], -so[1], so[2], so[3])
-            # single-pixel image bounds (kernel.py _pixel_index, npix == 1)
+            # image-plane pixel (kernel.py _pixel_index)
             x_im = py * cp_d - px * sp_d
             y_im = pz * st_d - py * ct_d * sp_d - px * ct_d * cp_d
-            ix = jnp.floor((x_im + x_max) / (2.0 * x_max))
-            iy = jnp.floor((y_im + y_max) / (2.0 * y_max))
-            pix_ok = (ix == 0.0) & (iy == 0.0)
-            return contrib, pix_ok
+            if spec.nx * spec.ny == 1:
+                ix = jnp.floor((x_im + x_max) / (2.0 * x_max))
+                iy = jnp.floor((y_im + y_max) / (2.0 * y_max))
+                return contrib, ((ix == 0.0) & (iy == 0.0)), zi
+            ix = jnp.floor(spec.nx * (x_im + x_max) / (2.0 * x_max)).astype(i32)
+            iy = jnp.floor(spec.ny * (y_im + y_max) / (2.0 * y_max)).astype(i32)
+            pix_ok = (ix >= 0) & (ix < spec.nx) & (iy >= 0) & (iy < spec.ny)
+            return contrib, pix_ok, ix * spec.ny + iy
 
         # ---- emission (kernel.py _emit, stellar) ----
         def emit(k0, k1):
@@ -652,7 +681,11 @@ def _build_kernel(spec: PallasSpec, width: int):
             return (qx * inv_s[0], qy * inv_s[1], qz * inv_s[2])
 
         # ---- the pool loop ----
-        round_cap = (n_photons // u32(width) + u32(2)) * u32(spec.max_scatter + 4)
+        if seg_k is None:
+            round_cap = (n_photons // u32(width) + u32(2)) \
+                * u32(spec.max_scatter + 4)
+        else:
+            round_cap = u32(seg_k)     # segment-local round budget
 
         def cond(c):
             return ((c["n_emitted"] < n_photons) | (c["n_active"] > 0)) \
@@ -738,8 +771,9 @@ def _build_kernel(spec: PallasSpec, width: int):
 
             # ---- LIVE: peel prep + scattering ----
             stokes = (sI, sQ, sU, sV)
-            (pcI, pcQ, pcU, pcV), pix_ok = peel_prep(px, py, pz, dx, dy, dz,
-                                                     cr, stokes)
+            (pcI, pcQ, pcU, pcV), pix_ok, pix = peel_prep(px, py, pz,
+                                                          dx, dy, dz,
+                                                          cr, stokes)
             beta, c2b, s2b = sample_beta(cr, stokes, d1, d2)
             alpha, alpha_deg = sample_alpha(cr, stokes, c2b, s2b, d3)
             ndx, ndy, ndz = direction_cosine(alpha, beta, dx, dy, dz)
@@ -789,19 +823,31 @@ def _build_kernel(spec: PallasSpec, width: int):
             peel = tau_walk(px, py, pz, pdx, pdy, pdz, cr, fax, fidx,
                             peel_active)
 
-            # scatter-peel splat (single pixel)
+            # scatter-peel splat: in-kernel accumulators (single pixel) or
+            # per-round records for the XLA flush (segmented multi-pixel)
             w_peel = jnp.exp(-jnp.minimum(peel["tau"], 500.0))
             ok = live_surv & peel["exited"] & (peel["tau"] < 50.0) \
                 & ~peel["err"] & pix_ok
-            accI = c["accI"] + jnp.where(ok, pcI * w_peel, 0.0)
-            accQ = c["accQ"] + jnp.where(ok, pcQ * w_peel, 0.0)
-            accU = c["accU"] + jnp.where(ok, pcU * w_peel, 0.0)
-            accV = c["accV"] + jnp.where(ok, pcV * w_peel, 0.0)
-            accI2 = c["accI2"] + jnp.where(ok, (pcI * w_peel) ** 2, 0.0)
-            accQ2 = c["accQ2"] + jnp.where(ok, (pcQ * w_peel) ** 2, 0.0)
-            accU2 = c["accU2"] + jnp.where(ok, (pcU * w_peel) ** 2, 0.0)
-            accV2 = c["accV2"] + jnp.where(ok, (pcV * w_peel) ** 2, 0.0)
-            accN = c["accN"] + ok.astype(i32)
+            if seg_k is None:
+                accI = c["accI"] + jnp.where(ok, pcI * w_peel, 0.0)
+                accQ = c["accQ"] + jnp.where(ok, pcQ * w_peel, 0.0)
+                accU = c["accU"] + jnp.where(ok, pcU * w_peel, 0.0)
+                accV = c["accV"] + jnp.where(ok, pcV * w_peel, 0.0)
+                accI2 = c["accI2"] + jnp.where(ok, (pcI * w_peel) ** 2, 0.0)
+                accQ2 = c["accQ2"] + jnp.where(ok, (pcQ * w_peel) ** 2, 0.0)
+                accU2 = c["accU2"] + jnp.where(ok, (pcU * w_peel) ** 2, 0.0)
+                accV2 = c["accV2"] + jnp.where(ok, (pcV * w_peel) ** 2, 0.0)
+                accN = c["accN"] + ok.astype(i32)
+            else:
+                # ref stores at a dynamic row offset (Mosaic has no value
+                # dynamic_update_slice); refs were -1/zero-filled up front,
+                # so early-exit segments leave only empty records behind
+                slot = (c["round"] * u32(RR)).astype(i32)
+                rec_refs[0][pl.ds(slot, RR), :] = jnp.where(ok, pix, -1)
+                rec_refs[1][pl.ds(slot, RR), :] = jnp.where(ok, pcI * w_peel, 0.0)
+                rec_refs[2][pl.ds(slot, RR), :] = jnp.where(ok, pcQ * w_peel, 0.0)
+                rec_refs[3][pl.ds(slot, RR), :] = jnp.where(ok, pcU * w_peel, 0.0)
+                rec_refs[4][pl.ds(slot, RR), :] = jnp.where(ok, pcV * w_peel, 0.0)
 
             # ---- prewalk results -> FIRST_WALK ----
             tau_first = jnp.where(nb1, peel["tau"], tau_first)
@@ -826,7 +872,7 @@ def _build_kernel(spec: PallasSpec, width: int):
             accCap = c["accCap"] + capped.astype(i32)
             stage = jnp.where(capped, STAGE_DEAD, stage)
 
-            return dict(
+            out = dict(
                 stage=stage, pid=pid, ctr=ctr,
                 px=m_out["px"], py=m_out["py"], pz=m_out["pz"],
                 dx=tdx, dy=tdy, dz=tdz,
@@ -834,68 +880,124 @@ def _build_kernel(spec: PallasSpec, width: int):
                 cr=m_out["cr"], fax=m_out["fax"], fidx=m_out["fidx"],
                 tau_first=tau_first, pre_surface=pre_surface.astype(i32),
                 n_scat=n_scat,
-                accI=accI, accQ=accQ, accU=accU, accV=accV,
-                accI2=accI2, accQ2=accQ2, accU2=accU2, accV2=accV2,
-                accN=accN, accErr=accErr, acc031=acc031, acc032=acc032,
+                accErr=accErr, acc031=acc031, acc032=acc032,
                 acc034=acc034, accPeel=accPeel, accCap=accCap,
                 n_emitted=n_emitted,
                 n_active=jnp.sum((stage != STAGE_DEAD).astype(i32), dtype=i32),
                 round=c["round"] + u32(1),
             )
+            if seg_k is None:
+                out.update(accI=accI, accQ=accQ, accU=accU, accV=accV,
+                           accI2=accI2, accQ2=accQ2, accU2=accU2, accV2=accV2,
+                           accN=accN)
+            return out
 
         init = dict(
-            stage=zi, pid=zu, ctr=zu,
-            px=zf, py=zf, pz=zf,
-            dx=zf + 1.0, dy=zf, dz=zf,
-            sI=zf, sQ=zf, sU=zf, sV=zf,
-            cr=zi, fax=zi, fidx=zi,
-            tau_first=zf, pre_surface=zi, n_scat=zi,
-            accI=zf, accQ=zf, accU=zf, accV=zf,
-            accI2=zf, accQ2=zf, accU2=zf, accV2=zf,
-            accN=zi, accErr=zi, acc031=zi, acc032=zi, acc034=zi,
+            accErr=zi, acc031=zi, acc032=zi, acc034=zi,
             accPeel=zi, accCap=zi,
-            n_emitted=u32(0), n_active=jnp.asarray(0, i32),
+            n_active=jnp.asarray(0, i32),
             round=u32(0),
         )
+        if seg_k is None:
+            init.update(
+                stage=zi, pid=zu, ctr=zu,
+                px=zf, py=zf, pz=zf,
+                dx=zf + 1.0, dy=zf, dz=zf,
+                sI=zf, sQ=zf, sU=zf, sV=zf,
+                cr=zi, fax=zi, fidx=zi,
+                tau_first=zf, pre_surface=zi, n_scat=zi,
+                accI=zf, accQ=zf, accU=zf, accV=zf,
+                accI2=zf, accQ2=zf, accU2=zf, accV2=zf,
+                accN=zi, n_emitted=u32(0))
+        else:
+            for name, ref in zip(_STATE, st_in):
+                init[name] = ref[...]
+            init["n_emitted"] = si[3]
+            # the segment starts with every lane carried over as alive-ish;
+            # n_active only matters for the cond and is recomputed per round
+            init["n_active"] = jnp.sum(
+                (init["stage"] != STAGE_DEAD).astype(i32), dtype=i32)
+            rec_refs[0][...] = jnp.full((seg_k * RR, C), -1, i32)
+            for e in range(1, 5):
+                rec_refs[e][...] = jnp.zeros((seg_k * RR, C), f32)
+
         fin = jax.lax.while_loop(cond, body, init)
 
         row = jax.lax.broadcasted_iota(i32, (8, 128), 0)
         lane = jax.lax.broadcasted_iota(i32, (8, 128), 1)
-        outv = jnp.zeros((8, 128), f32)
-        for e, v in enumerate([fin["accI"], fin["accQ"], fin["accU"],
-                               fin["accV"], fin["accI2"], fin["accQ2"],
-                               fin["accU2"], fin["accV2"]]):
-            outv = jnp.where((row == 0) & (lane == e), jnp.sum(v, dtype=f32), outv)
-        outf[...] = outv
+        if seg_k is None:
+            outv = jnp.zeros((8, 128), f32)
+            for e, v in enumerate([fin["accI"], fin["accQ"], fin["accU"],
+                                   fin["accV"], fin["accI2"], fin["accQ2"],
+                                   fin["accU2"], fin["accV2"]]):
+                outv = jnp.where((row == 0) & (lane == e),
+                                 jnp.sum(v, dtype=f32), outv)
+            outf[...] = outv
 
         outw = jnp.zeros((8, 128), i32)
         ints = [jnp.sum(fin["accErr"], dtype=i32), jnp.sum(fin["acc031"], dtype=i32),
                 jnp.sum(fin["acc032"], dtype=i32), jnp.sum(fin["acc034"], dtype=i32),
                 jnp.sum(fin["accPeel"], dtype=i32), jnp.sum(fin["accCap"], dtype=i32),
-                jnp.sum(fin["accN"], dtype=i32),
-                fin["n_emitted"].astype(i32), fin["round"].astype(i32)]
+                (jnp.sum(fin["accN"], dtype=i32) if seg_k is None
+                 else jnp.asarray(0, i32)),
+                fin["n_emitted"].astype(i32), fin["round"].astype(i32),
+                ((fin["n_emitted"] >= n_photons)
+                 & (fin["n_active"] == 0)).astype(i32)]
         for e, v in enumerate(ints):
             outw = jnp.where((row == 0) & (lane == e), v, outw)
         outi[...] = outw
+
+        if seg_k is not None:
+            for name, ref in zip(_STATE, st_out):
+                ref[...] = fin[name]
 
     return kernel
 
 
 _FN_CACHE: dict = {}
 
+# per-lane pool state round-tripped through the segmented kernel:
+# (name, dtype) in kernel _STATE order
+_STATE_DTYPES = (i32, u32, u32, f32, f32, f32, f32, f32, f32,
+                 f32, f32, f32, f32, i32, i32, i32, f32, i32, i32)
 
-def _get_fn(spec: PallasSpec, width: int, interpret: bool):
-    key = (spec, width, interpret)
+SEG_ROUNDS = 16          # rounds per segment (record carry = 5x this x width)
+SEG_FLUSH = 8            # segments per XLA record flush (~1M records)
+SEG_CHECK = 32           # segments between host-side done-flag checks
+
+
+def _get_fn(spec: PallasSpec, width: int, interpret: bool,
+            seg_k: int | None = None):
+    key = (spec, width, interpret, seg_k)
     if key not in _FN_CACHE:
-        kern = _build_kernel(spec, width)
+        kern = _build_kernel(spec, width, seg_k)
+        RR = width // 128
+        if seg_k is None:
+            out_shape = (jax.ShapeDtypeStruct((8, 128), f32),
+                         jax.ShapeDtypeStruct((8, 128), i32))
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 \
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+            aliases = {}
+        else:
+            state_sds = tuple(jax.ShapeDtypeStruct((RR, 128), dt)
+                              for dt in _STATE_DTYPES)
+            out_shape = state_sds + (
+                jax.ShapeDtypeStruct((8, 128), i32),
+                jax.ShapeDtypeStruct((seg_k * RR, 128), i32),
+                jax.ShapeDtypeStruct((seg_k * RR, 128), f32),
+                jax.ShapeDtypeStruct((seg_k * RR, 128), f32),
+                jax.ShapeDtypeStruct((seg_k * RR, 128), f32),
+                jax.ShapeDtypeStruct((seg_k * RR, 128), f32))
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 \
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 19)
+            aliases = {6 + i: i for i in range(19)}
         call = pl.pallas_call(
             kern,
-            out_shape=(jax.ShapeDtypeStruct((8, 128), f32),
-                       jax.ShapeDtypeStruct((8, 128), i32)),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=jax.tree.map(
+                lambda _: pl.BlockSpec(memory_space=pltpu.VMEM), out_shape),
+            input_output_aliases=aliases,
             interpret=interpret,
         )
         _FN_CACHE[key] = jax.jit(call)
@@ -956,11 +1058,15 @@ def run_stream_pallas(tables, static, n_photons, seed, width: int,
     """Drop-in for :func:`kernel.run_stream` on supported configs.
 
     Requires concrete (non-traced) tables — the wrapper specialises the
-    kernel on grid shape and scattering-matrix structure eagerly.
+    kernel on grid shape and scattering-matrix structure eagerly. Multi-pixel
+    detectors run through the segmented kernel + XLA record flush.
     """
     spec, distinct = make_spec(tables, static)
     if width % 128 != 0:
         raise ValueError("width must be a multiple of 128")
+    if spec.nx * spec.ny > 1:
+        return _run_segmented(tables, static, spec, distinct, n_photons,
+                              seed, width, id_hi, id_lo, interpret)
     sf, si, coarse, gt = _pack_inputs(tables, spec, distinct,
                                       n_photons, seed, id_hi, id_lo)
     lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
@@ -983,4 +1089,127 @@ def run_stream_pallas(tables, static, n_photons, seed, width: int,
         "n_alive_at_cap": outi[0, 5],
         "n_emitted": outi[0, 7].astype(u32),
         "n_rounds": outi[0, 8].astype(u32),
+    }
+
+
+def _init_state(width):
+    """Initial pool state (all lanes DEAD), kernel _STATE order."""
+    RR = width // 128
+    zf = jnp.zeros((RR, 128), f32)
+    zi = jnp.zeros((RR, 128), i32)
+    zu = jnp.zeros((RR, 128), u32)
+    return [zi, zu, zu, zf, zf, zf, zf + 1.0, zf, zf,
+            zf, zf, zf, zf, zi, zi, zi, zf, zi, zi]
+
+
+def _flush_arrays(npix, detector, rbufs):
+    """Bin record buffers ((S, K*RR, C) pix + 4 Stokes) into the detector via
+    one (N, npix) one-hot einsum (see kernel._flush_records)."""
+    pix = rbufs[0].reshape(-1)
+    st = jnp.stack([rbufs[e].reshape(-1) for e in (1, 2, 3, 4)], axis=-1)
+    cnt = (pix >= 0).astype(f32)
+    feats = jnp.stack([st, st * st,
+                       jnp.broadcast_to(cnt[:, None], st.shape)], axis=-1)
+    feats = feats.reshape(-1, 12)
+    oh = (pix[:, None] == jnp.arange(npix)[None, :]).astype(f32)
+    contrib = jnp.einsum("bp,bf->pf", oh, feats, preferred_element_type=f32)
+    return detector + contrib.reshape(npix, 4, 3)
+
+
+def _get_driver(spec: PallasSpec, width: int, interpret: bool):
+    """One fused device program for a whole imaging run: lax.while_loop over
+    segments, each iteration = one Pallas pool segment + record buffering +
+    a conditional ~1M-record einsum flush. A single host dispatch — per-call
+    RPC overhead through the tunneled device (~tens of ms) made host-driven
+    segment loops 20x slower than the compute itself."""
+    key = (spec, width, interpret, "seg-driver")
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    fn = _get_fn(spec, width, interpret, seg_k=SEG_ROUNDS)
+    npix = spec.nx * spec.ny
+    RR = width // 128
+    S = SEG_FLUSH
+
+    @jax.jit
+    def driver(sf, si0, coarse, gt, lt_c, lt_r, state0, max_seg):
+        z0 = jnp.zeros((), i32)
+
+        def cond(c):
+            return (~c["done"]) & (c["seg"] < max_seg)
+
+        def body(c):
+            out = fn(sf, c["si"], coarse, gt, lt_c, lt_r, *c["state"])
+            state = tuple(out[:19])
+            outi = out[19]
+            recs = out[20:25]
+            slot = c["seg"] % S
+            rb = tuple(jax.lax.dynamic_update_slice(b, r[None], (slot, z0, z0))
+                       for b, r in zip(c["recbuf"], recs))
+
+            def do_flush(args):
+                det, rbufs = args
+                det = _flush_arrays(npix, det, rbufs)
+                return det, (jnp.full_like(rbufs[0], -1),) + rbufs[1:]
+
+            det, rb = jax.lax.cond(slot == S - 1, do_flush, lambda a: a,
+                                   (c["det"], rb))
+            si = jnp.stack([si0[0], si0[1], si0[2], outi[0, 7].astype(u32)])
+            return dict(
+                state=state, si=si, det=det, recbuf=rb,
+                tall=c["tall"] + outi[0, :7],
+                rounds=c["rounds"] + outi[0, 8],
+                done=outi[0, 9] != 0,
+                n_emitted=outi[0, 7],
+                seg=c["seg"] + 1)
+
+        init = dict(
+            state=tuple(state0), si=si0,
+            det=jnp.zeros((npix, 4, 3), f32),
+            recbuf=(jnp.full((S, SEG_ROUNDS * RR, 128), -1, i32),)
+            + tuple(jnp.zeros((S, SEG_ROUNDS * RR, 128), f32)
+                    for _ in range(4)),
+            tall=jnp.zeros(7, i32),
+            rounds=z0, done=jnp.zeros((), bool), n_emitted=jnp.zeros((), i32),
+            seg=z0)
+        fin = jax.lax.while_loop(cond, body, init)
+        det = _flush_arrays(npix, fin["det"], fin["recbuf"])
+        return (det, fin["tall"], fin["rounds"], fin["n_emitted"],
+                fin["done"], fin["seg"])
+
+    _FN_CACHE[key] = driver
+    return driver
+
+
+def _run_segmented(tables, static, spec, distinct, n_photons, seed, width,
+                   id_hi, id_lo, interpret):
+    """Imaging runs: segmented pool kernel + on-device XLA record flush."""
+    from artes_tpu.transport import rng as R
+
+    sf, _, coarse, gt = _pack_inputs(tables, spec, distinct,
+                                     n_photons, seed, id_hi, id_lo)
+    lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
+    lt_r = jnp.asarray(np.tril(np.ones((width // 128, width // 128),
+                                       np.float32), -1))
+    driver = _get_driver(spec, width, interpret)
+    n_u32 = jnp.asarray(n_photons, u32)
+    si0 = jnp.stack([n_u32, R.key_hi(seed, id_hi),
+                     jnp.asarray(id_lo, u32), u32(0)])
+    max_segments = int((int(n_photons) // width + 2)
+                       * (spec.max_scatter + 4) // SEG_ROUNDS + 2)
+    det, tall, rounds, n_emitted, done, segs = driver(
+        sf, si0, coarse, gt, lt_c, lt_r, tuple(_init_state(width)),
+        jnp.asarray(max_segments, i32))
+    tall = np.asarray(tall, np.int64)
+    return {
+        "detector": det,
+        "flow_global": jnp.zeros((1, 3), f32),
+        "flow_theta": jnp.zeros((1, 4), f32),
+        "flux_emitted": jnp.zeros((), f32),
+        "flux_exit": jnp.zeros((), f32),
+        "n_error": int(tall[0]),
+        "error_codes": jnp.asarray([tall[1], tall[2], tall[3], tall[4]],
+                                   jnp.int32),
+        "n_alive_at_cap": int(tall[5]),
+        "n_emitted": int(n_emitted),
+        "n_rounds": int(rounds),
     }

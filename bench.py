@@ -100,9 +100,15 @@ else:
     agree = 0.0
 
 static_i, prep_i = setup("imaging_mono", npix=25)
-n_img = max(min(n_photons // 16, 1 << 23), width)
+use_pallas_i = pallas_stream.supports(prep_i.tables, static_i) and platform != "cpu"
+if use_pallas_i:
+    kern_i, w_i = pallas_stream.run_stream_pallas, PALLAS_WIDTH
+    n_img = max(min(n_photons // 2, 1 << 26), w_i)
+else:
+    kern_i, w_i = run_stream, width
+    n_img = max(min(n_photons // 16, 1 << 23), width)
 tp_img, out_i, (det_sum_i, n_err_i, n_cap_i) = measure(
-    run_stream, static_i, prep_i, n_img, 23, width)
+    kern_i, static_i, prep_i, n_img, 23, w_i)
 
 print(json.dumps({
     "throughput": tp_spec,
