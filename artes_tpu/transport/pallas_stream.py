@@ -57,6 +57,7 @@ _DEG = np.pi / 180.0
 TWO_PI = 2.0 * np.pi
 
 STAGE_DEAD = 0
+STAGE_BIRTH_PEEL = 1
 STAGE_PREWALK = 2
 STAGE_FIRST_WALK = 3
 STAGE_LIVE = 4
@@ -92,6 +93,8 @@ class PallasSpec:
     alpha_active: tuple  # indices of nonzero alpha-CDF weight rows
     nx: int = 1          # detector pixels (imaging runs through the
     ny: int = 1          # segmented kernel + XLA record flush)
+    thermal: bool = False    # planet source: emissivity-CDF emission,
+    emission: int = 1        # birth peel, flux tallies; 1 iso / 2 biased
 
 
 def supports(tables, static) -> bool:
@@ -101,7 +104,7 @@ def supports(tables, static) -> bool:
         sa = float(tables.surface_albedo)
     except Exception:
         return False  # traced tables: cannot specialise eagerly
-    return (static.photon_source == 1
+    return (static.photon_source in (1, 2)
             and static.photon_scattering
             and not static.track_flow
             and 1 <= static.nx * static.ny <= 2048
@@ -147,6 +150,8 @@ def make_spec(tables, static) -> PallasSpec:
         scat_reps=tuple(reps), n_distinct=len(distinct),
         alpha_active=alpha_active,
         nx=static.nx, ny=static.ny,
+        thermal=static.photon_source == 2,
+        emission=static.photon_emission,
     ), distinct
 
 
@@ -238,8 +243,9 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         else:
             st_in = rest[:19]
             st_out = rest[19:38]
-            outi = rest[38]
-            rec_refs = rest[39:44]     # pix, I, Q, U, V
+            outf = rest[38]
+            outi = rest[39]
+            rec_refs = rest[40:45]     # pix, I, Q, U, V
         n_photons = si[0]
         seed = si[1]       # pre-mixed with the id high word (rng.key_hi)
         id_lo = si[2]      # low word of the chunk's first global photon id
@@ -261,6 +267,10 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         e1x, e1y, e1z = sf[off + 3], sf[off + 4], sf[off + 5]
         e2x, e2y, e2z = sf[off + 6], sf[off + 7], sf[off + 8]
         whx, why, whz = sf[off + 9], sf[off + 10], sf[off + 11]
+        off += 12
+        ec_off = off          # thermal emissivity CDF (nr entries)
+        cw_off = off + nr     # thermal cell weights (nr entries)
+        ph_bias = sf[off + 2 * nr]
 
         dshape = (RR, C)
         zf = jnp.zeros(dshape, f32)
@@ -408,6 +418,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                     err=b2i(err),
                     e031=c["e031"] | b2i(m & out["err_nocand"]),
                     e034=c["e034"] | b2i(m & out["err_degen"]),
+                    exb=c["exb"] | b2i(crossing & out["grid_exit"]
+                                       & ~hit_surface),
                     ctr=c["ctr"] + jnp.where(m, u32(3), u32(0)),
                     m=b2i(still),
                     it=c["it"] + 1,
@@ -415,7 +427,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
             init = dict(px=px, py=py, pz=pz, cr=cr, fax=fax, fidx=fidx,
                         tau_run=zf, inter=zi, err=zi, e031=zi, e034=zi,
-                        ctr=ctr, m=b2i(active), it=jnp.asarray(0, i32))
+                        exb=zi, ctr=ctr, m=b2i(active), it=jnp.asarray(0, i32))
             o = jax.lax.while_loop(cond, body, init)
             marching = o["m"] != 0
             return dict(px=o["px"], py=o["py"], pz=o["pz"], cr=o["cr"],
@@ -423,7 +435,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                         inter=o["inter"] != 0,
                         err=(o["err"] != 0) | marching,
                         e031=o["e031"] != 0, e034=o["e034"] != 0,
-                        e032=marching)
+                        e032=marching, exited=o["exb"] != 0)
 
         # ---- peel / prewalk tau walk (the merged-march peel half) ----
         def tau_walk(px, py, pz, dx, dy, dz, cr, fax, fidx, active):
@@ -664,21 +676,67 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             pix_ok = (ix >= 0) & (ix < spec.nx) & (iy >= 0) & (iy < spec.ny)
             return contrib, pix_ok, ix * spec.ny + iy
 
-        # ---- emission (kernel.py _emit, stellar) ----
+        # ---- emission (kernel.py _emit) ----
         def emit(k0, k1):
-            u1, u2 = R.uniform_n_kk(k0, k1, u32(0), 2, f32)
-            if spec.crescent:
-                u1 = 0.81 + 0.19 * u1
-            r_disk = jnp.sqrt(u1)
-            phi_disk = TWO_PI * u2
-            d1 = r_disk * jnp.sin(phi_disk)
-            d2 = r_disk * jnp.cos(phi_disk)
-            depth = jnp.sqrt(jnp.maximum(1.0 - d1 * d1 - d2 * d2, 0.0))
-            qx = d1 * e1x + d2 * e2x - depth * whx
-            qy = d1 * e1y + d2 * e2y - depth * why
-            qz = d1 * e1z + d2 * e2z - depth * whz
-            inv_s = (1.0 / ax, 1.0 / by, 1.0 / cz)
-            return (qx * inv_s[0], qy * inv_s[1], qz * inv_s[2])
+            """Stellar: (pos,). Thermal: (pos, dir, cell, w0)."""
+            if not spec.thermal:
+                u1, u2 = R.uniform_n_kk(k0, k1, u32(0), 2, f32)
+                if spec.crescent:
+                    u1 = 0.81 + 0.19 * u1
+                r_disk = jnp.sqrt(u1)
+                phi_disk = TWO_PI * u2
+                d1 = r_disk * jnp.sin(phi_disk)
+                d2 = r_disk * jnp.cos(phi_disk)
+                depth = jnp.sqrt(jnp.maximum(1.0 - d1 * d1 - d2 * d2, 0.0))
+                qx = d1 * e1x + d2 * e2x - depth * whx
+                qy = d1 * e1y + d2 * e2y - depth * why
+                qz = d1 * e1z + d2 * e2z - depth * whz
+                inv_s = (1.0 / ax, 1.0 / by, 1.0 / cz)
+                return ((qx * inv_s[0], qy * inv_s[1], qz * inv_s[2]),)
+            # thermal: cell from the emissivity CDF, uniform point in cell,
+            # isotropic or Gordon-biased direction (kernel.py _emit, planet)
+            u_cell, u_r, u_t, u_p, u_a, u_b = R.uniform_n_kk(
+                k0, k1, u32(0), 6, f32)
+            total = sf[ec_off + nr - 1]
+            target = u_cell * total
+            cr_e = zi
+            for i in range(nr - 1):
+                cr_e = cr_e + (sf[ec_off + i] < target).astype(i32)
+            r0 = sel_cell(lambda i: rf[i], cr_e)
+            r1 = sel_cell(lambda i: rf[i + 1], cr_e)
+            r = r0 + u_r * (r1 - r0)
+            cos_t = 1.0 - 2.0 * u_t          # theta_cos [1, -1] (ntheta==1)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            phi = TWO_PI * u_p
+            e_px = r * sin_t * jnp.cos(phi) / ax
+            e_py = r * sin_t * jnp.sin(phi) / by
+            e_pz = r * cos_t / cz
+            if spec.emission == 1:
+                alpha_e = 2.0 * u_a - 1.0
+                beta_e = TWO_PI * u_b
+                s_e = jnp.sqrt(jnp.maximum(1.0 - alpha_e * alpha_e, 0.0))
+                e_d = (s_e * jnp.cos(beta_e), s_e * jnp.sin(beta_e), alpha_e)
+                bias_w = 1.0 + 0.0 * u_a
+            else:
+                # Gordon 1987 upward-biased emission (ARTES.f90:1229-1254)
+                bias = ph_bias
+                y_b = (1.0 + bias) * jnp.tan(np.float32(np.pi / 2.0) * u_a) \
+                    / jnp.sqrt(1.0 - bias * bias)
+                cth = jnp.clip((1.0 - y_b * y_b) / (1.0 + y_b * y_b),
+                               -1.0, 1.0)
+                theta_s = _acos(cth)
+                beta_e = TWO_PI * u_b
+                rux = e_px * a2
+                ruy = e_py * b2
+                ruz = e_pz * c2
+                inv_n = 1.0 / jnp.sqrt(rux * rux + ruy * ruy + ruz * ruz)
+                e_d = direction_cosine(-cth, beta_e,
+                                       rux * inv_n, ruy * inv_n, ruz * inv_n)
+                sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+                bias_w = (np.float32(np.pi) * sth * (1.0 + bias * cth)) \
+                    / (2.0 * jnp.sqrt(1.0 - bias * bias))
+            w0 = bias_w / sel_cell(lambda i: sf[cw_off + i], cr_e)
+            return ((e_px, e_py, e_pz), e_d, cr_e, w0)
 
         # ---- the pool loop ----
         if seg_k is None:
@@ -717,29 +775,44 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             k0 = jnp.full(dshape, seed, u32)
             k1 = pid
 
-            e_px, e_py, e_pz = emit(k0, k1)
+            em = emit(k0, k1)
+            e_px, e_py, e_pz = em[0]
+            if spec.thermal:
+                (e_dx, e_dy, e_dz), e_cr, w0 = em[1], em[2], em[3]
+                flux_em = jnp.sum(jnp.where(refill, w0, 0.0), dtype=f32)
+                e_fax, e_fidx = 0, 0
+                e_ctr, e_stage = u32(6), STAGE_BIRTH_PEEL
+                e_sI = w0
+            else:
+                e_dx, e_dy, e_dz = uhx, uhy, uhz
+                e_cr, w0 = nr - 1, 1.0
+                flux_em = jnp.zeros((), f32)
+                e_fax, e_fidx = 1, nr
+                e_ctr, e_stage = u32(2), STAGE_PREWALK
+                e_sI = 1.0
             px = jnp.where(refill, e_px, px)
             py = jnp.where(refill, e_py, py)
             pz = jnp.where(refill, e_pz, pz)
-            dx = jnp.where(refill, uhx, dx)
-            dy = jnp.where(refill, uhy, dy)
-            dz = jnp.where(refill, uhz, dz)
-            sI = jnp.where(refill, 1.0, sI)
+            dx = jnp.where(refill, e_dx, dx)
+            dy = jnp.where(refill, e_dy, dy)
+            dz = jnp.where(refill, e_dz, dz)
+            sI = jnp.where(refill, e_sI, sI)
             sQ = jnp.where(refill, 0.0, sQ)
             sU = jnp.where(refill, 0.0, sU)
             sV = jnp.where(refill, 0.0, sV)
-            cr = jnp.where(refill, nr - 1, cr)
-            fax = jnp.where(refill, 1, fax)
-            fidx = jnp.where(refill, nr, fidx)
-            ctr = jnp.where(refill, u32(2), ctr)
+            cr = jnp.where(refill, e_cr, cr)
+            fax = jnp.where(refill, e_fax, fax)
+            fidx = jnp.where(refill, e_fidx, fidx)
+            ctr = jnp.where(refill, e_ctr, ctr)
             tau_first = jnp.where(refill, 0.0, tau_first)
             pre_surface = pre_surface & ~refill
             n_scat = jnp.where(refill, 0, n_scat)
-            stage = jnp.where(refill, STAGE_PREWALK, stage)
+            stage = jnp.where(refill, e_stage, stage)
 
             live = stage == STAGE_LIVE
             fw = stage == STAGE_FIRST_WALK
             nb1 = stage == STAGE_PREWALK
+            nb0 = (stage == STAGE_BIRTH_PEEL) if spec.thermal else None
 
             # heal (pos, cell) inconsistencies from f32 tangent-root error
             # (see geometry.heal_cell); radial-only grid: one searchsorted
@@ -815,8 +888,10 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             ctr = m_out["ctr"]
 
             # ---- peel/prewalk walk (scatter peel along det dir; prewalk
-            # along the photon's own direction) ----
+            # along the photon's own direction; birth peel along det dir) ----
             peel_active = live_surv | nb1
+            if spec.thermal:
+                peel_active = peel_active | nb0
             pdx = jnp.where(nb1, dx, ddx)
             pdy = jnp.where(nb1, dy, ddy)
             pdz = jnp.where(nb1, dz, ddz)
@@ -824,30 +899,57 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                             peel_active)
 
             # scatter-peel splat: in-kernel accumulators (single pixel) or
-            # per-round records for the XLA flush (segmented multi-pixel)
+            # per-round records for the XLA flush (segmented multi-pixel).
+            # Thermal birth peel (ARTES.f90:4519-4598): Stokes-I only, weight
+            # e^-tau/(4 pi) — a lane is either LIVE or BIRTH_PEEL, so both
+            # share one record slot, first-only records marked by pix+npix.
             w_peel = jnp.exp(-jnp.minimum(peel["tau"], 500.0))
             ok = live_surv & peel["exited"] & (peel["tau"] < 50.0) \
                 & ~peel["err"] & pix_ok
+            if spec.thermal:
+                ok_b = nb0 & peel["exited"] & (peel["tau"] < 50.0) \
+                    & ~peel["err"] & pix_ok
+                w_b = w_peel * np.float32(1.0 / (4.0 * np.pi))
+                bI = w_b * sI
             if seg_k is None:
-                accI = c["accI"] + jnp.where(ok, pcI * w_peel, 0.0)
+                vI = jnp.where(ok, pcI * w_peel, 0.0)
+                if spec.thermal:
+                    vI = vI + jnp.where(ok_b, bI, 0.0)
+                accI = c["accI"] + vI
                 accQ = c["accQ"] + jnp.where(ok, pcQ * w_peel, 0.0)
                 accU = c["accU"] + jnp.where(ok, pcU * w_peel, 0.0)
                 accV = c["accV"] + jnp.where(ok, pcV * w_peel, 0.0)
                 accI2 = c["accI2"] + jnp.where(ok, (pcI * w_peel) ** 2, 0.0)
+                if spec.thermal:
+                    accI2 = accI2 + jnp.where(ok_b, bI * bI, 0.0)
                 accQ2 = c["accQ2"] + jnp.where(ok, (pcQ * w_peel) ** 2, 0.0)
                 accU2 = c["accU2"] + jnp.where(ok, (pcU * w_peel) ** 2, 0.0)
                 accV2 = c["accV2"] + jnp.where(ok, (pcV * w_peel) ** 2, 0.0)
                 accN = c["accN"] + ok.astype(i32)
+                accNI = c["accNI"] + (ok_b.astype(i32) if spec.thermal else 0)
             else:
                 # ref stores at a dynamic row offset (Mosaic has no value
                 # dynamic_update_slice); refs were -1/zero-filled up front,
                 # so early-exit segments leave only empty records behind
                 slot = (c["round"] * u32(RR)).astype(i32)
-                rec_refs[0][pl.ds(slot, RR), :] = jnp.where(ok, pix, -1)
-                rec_refs[1][pl.ds(slot, RR), :] = jnp.where(ok, pcI * w_peel, 0.0)
+                npx = spec.nx * spec.ny
+                rpix_v = jnp.where(ok, pix, -1)
+                r_I = jnp.where(ok, pcI * w_peel, 0.0)
+                if spec.thermal:
+                    rpix_v = jnp.where(ok_b, pix + npx, rpix_v)
+                    r_I = r_I + jnp.where(ok_b, bI, 0.0)
+                rec_refs[0][pl.ds(slot, RR), :] = rpix_v
+                rec_refs[1][pl.ds(slot, RR), :] = r_I
                 rec_refs[2][pl.ds(slot, RR), :] = jnp.where(ok, pcQ * w_peel, 0.0)
                 rec_refs[3][pl.ds(slot, RR), :] = jnp.where(ok, pcU * w_peel, 0.0)
                 rec_refs[4][pl.ds(slot, RR), :] = jnp.where(ok, pcV * w_peel, 0.0)
+
+            # ---- birth-peel results -> PREWALK (thermal) ----
+            nb0_err = jnp.zeros(dshape, jnp.bool_)
+            if spec.thermal:
+                nb0_err = nb0 & peel["err"]
+                stage = jnp.where(nb0_err, STAGE_DEAD,
+                                  jnp.where(nb0, STAGE_PREWALK, stage))
 
             # ---- prewalk results -> FIRST_WALK ----
             tau_first = jnp.where(nb1, peel["tau"], tau_first)
@@ -858,12 +960,24 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
             # ---- transport outcomes + per-code tallies ----
             terr = m_out["err"] & active_t
-            accErr = c["accErr"] + nb1_err.astype(i32) + terr.astype(i32)
+            accErr = c["accErr"] + nb1_err.astype(i32) + terr.astype(i32) \
+                + nb0_err.astype(i32)
             acc031 = c["acc031"] + (m_out["e031"] & active_t).astype(i32) \
                 + nb1_err.astype(i32)
             acc032 = c["acc032"] + (m_out["e032"] & active_t).astype(i32)
             acc034 = c["acc034"] + (m_out["e034"] & active_t).astype(i32)
-            accPeel = c["accPeel"] + (peel["err"] & live_surv).astype(i32)
+            accPeel = c["accPeel"] + (peel["err"] & live_surv).astype(i32) \
+                + nb0_err.astype(i32)
+
+            # thermal energy bookkeeping (ARTES.f90:607, :780, :953)
+            if spec.thermal:
+                flux_ex = jnp.sum(jnp.where(m_out["exited"] & active_t,
+                                            sI, 0.0), dtype=f32)
+                accFluxM = c["accFluxM"] + flux_em
+                accFluxX = c["accFluxX"] + flux_ex
+            else:
+                accFluxM = c["accFluxM"]
+                accFluxX = c["accFluxX"]
 
             to_live = active_t & m_out["inter"] & ~m_out["err"]
             stage = jnp.where(active_t,
@@ -882,6 +996,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 n_scat=n_scat,
                 accErr=accErr, acc031=acc031, acc032=acc032,
                 acc034=acc034, accPeel=accPeel, accCap=accCap,
+                accFluxM=accFluxM, accFluxX=accFluxX,
                 n_emitted=n_emitted,
                 n_active=jnp.sum((stage != STAGE_DEAD).astype(i32), dtype=i32),
                 round=c["round"] + u32(1),
@@ -889,12 +1004,13 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             if seg_k is None:
                 out.update(accI=accI, accQ=accQ, accU=accU, accV=accV,
                            accI2=accI2, accQ2=accQ2, accU2=accU2, accV2=accV2,
-                           accN=accN)
+                           accN=accN, accNI=accNI)
             return out
 
         init = dict(
             accErr=zi, acc031=zi, acc032=zi, acc034=zi,
             accPeel=zi, accCap=zi,
+            accFluxM=jnp.zeros((), f32), accFluxX=jnp.zeros((), f32),
             n_active=jnp.asarray(0, i32),
             round=u32(0),
         )
@@ -908,7 +1024,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 tau_first=zf, pre_surface=zi, n_scat=zi,
                 accI=zf, accQ=zf, accU=zf, accV=zf,
                 accI2=zf, accQ2=zf, accU2=zf, accV2=zf,
-                accN=zi, n_emitted=u32(0))
+                accN=zi, accNI=zi, n_emitted=u32(0))
         else:
             for name, ref in zip(_STATE, st_in):
                 init[name] = ref[...]
@@ -925,14 +1041,15 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
         row = jax.lax.broadcasted_iota(i32, (8, 128), 0)
         lane = jax.lax.broadcasted_iota(i32, (8, 128), 1)
-        if seg_k is None:
-            outv = jnp.zeros((8, 128), f32)
-            for e, v in enumerate([fin["accI"], fin["accQ"], fin["accU"],
-                                   fin["accV"], fin["accI2"], fin["accQ2"],
-                                   fin["accU2"], fin["accV2"]]):
-                outv = jnp.where((row == 0) & (lane == e),
-                                 jnp.sum(v, dtype=f32), outv)
-            outf[...] = outv
+        outv = jnp.zeros((8, 128), f32)
+        floats = ([jnp.sum(fin[k], dtype=f32) for k in
+                   ("accI", "accQ", "accU", "accV",
+                    "accI2", "accQ2", "accU2", "accV2")]
+                  if seg_k is None else [jnp.zeros((), f32)] * 8)
+        floats += [fin["accFluxM"], fin["accFluxX"]]
+        for e, v in enumerate(floats):
+            outv = jnp.where((row == 0) & (lane == e), v, outv)
+        outf[...] = outv
 
         outw = jnp.zeros((8, 128), i32)
         ints = [jnp.sum(fin["accErr"], dtype=i32), jnp.sum(fin["acc031"], dtype=i32),
@@ -942,7 +1059,9 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                  else jnp.asarray(0, i32)),
                 fin["n_emitted"].astype(i32), fin["round"].astype(i32),
                 ((fin["n_emitted"] >= n_photons)
-                 & (fin["n_active"] == 0)).astype(i32)]
+                 & (fin["n_active"] == 0)).astype(i32),
+                (jnp.sum(fin["accNI"], dtype=i32) if seg_k is None
+                 else jnp.asarray(0, i32))]
         for e, v in enumerate(ints):
             outw = jnp.where((row == 0) & (lane == e), v, outw)
         outi[...] = outw
@@ -982,6 +1101,7 @@ def _get_fn(spec: PallasSpec, width: int, interpret: bool,
             state_sds = tuple(jax.ShapeDtypeStruct((RR, 128), dt)
                               for dt in _STATE_DTYPES)
             out_shape = state_sds + (
+                jax.ShapeDtypeStruct((8, 128), f32),
                 jax.ShapeDtypeStruct((8, 128), i32),
                 jax.ShapeDtypeStruct((seg_k * RR, 128), i32),
                 jax.ShapeDtypeStruct((seg_k * RR, 128), f32),
@@ -1020,6 +1140,10 @@ def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed,
         tables.det_dir.astype(f32),
         tables.det_trig.astype(f32),
         u_hat, e1s, e2s, w_hat,
+        # thermal-source tables (unused rows for stellar specs)
+        jnp.broadcast_to(tables.emis_cum.astype(f32), (nr,)),
+        jnp.broadcast_to(tables.cell_weight.astype(f32), (nr,)),
+        tables.photon_bias.astype(f32).reshape(1),
     ])
     si = jnp.stack([jnp.asarray(n_photons, u32), R.key_hi(seed, id_hi),
                     jnp.asarray(id_lo, u32)])
@@ -1074,15 +1198,19 @@ def run_stream_pallas(tables, static, n_photons, seed, width: int,
                                        np.float32), -1))
     outf, outi = _get_fn(spec, width, interpret)(sf, si, coarse, gt,
                                                  lt_c, lt_r)
-    detector = jnp.stack([outf[0, :4], outf[0, 4:8],
-                          jnp.broadcast_to(outi[0, 6].astype(f32), (4,))],
+    # splat counts: full scatter-peel counts on every component; thermal
+    # birth peels book component 0 only (kernel.py _splat first_only)
+    n_full = outi[0, 6].astype(f32)
+    counts = jnp.stack([n_full + outi[0, 10].astype(f32),
+                        n_full, n_full, n_full])
+    detector = jnp.stack([outf[0, :4], outf[0, 4:8], counts],
                          axis=-1).reshape(1, 4, 3)
     return {
         "detector": detector,
         "flow_global": jnp.zeros((1, 3), f32),
         "flow_theta": jnp.zeros((1, 4), f32),
-        "flux_emitted": jnp.zeros((), f32),
-        "flux_exit": jnp.zeros((), f32),
+        "flux_emitted": outf[0, 8],
+        "flux_exit": outf[0, 9],
         "n_error": outi[0, 0],
         "error_codes": jnp.stack([outi[0, 1], outi[0, 2], outi[0, 3],
                                   outi[0, 4]]),
@@ -1104,14 +1232,21 @@ def _init_state(width):
 
 def _flush_arrays(npix, detector, rbufs):
     """Bin record buffers ((S, K*RR, C) pix + 4 Stokes) into the detector via
-    one (N, npix) one-hot einsum (see kernel._flush_records)."""
+    one (N, npix) one-hot einsum (see kernel._flush_records).
+
+    Records with pix >= npix are FIRST-ONLY (thermal birth peels): Stokes I
+    plus a component-0 count, no Q/U/V moments (ARTES.f90:4583-4585)."""
     pix = rbufs[0].reshape(-1)
     st = jnp.stack([rbufs[e].reshape(-1) for e in (1, 2, 3, 4)], axis=-1)
-    cnt = (pix >= 0).astype(f32)
-    feats = jnp.stack([st, st * st,
-                       jnp.broadcast_to(cnt[:, None], st.shape)], axis=-1)
+    valid = pix >= 0
+    is_first = pix >= npix
+    p = jnp.where(is_first, pix - npix, pix)
+    cnt_full = (valid & ~is_first).astype(f32)
+    cnt0 = valid.astype(f32)
+    counts = jnp.stack([cnt0, cnt_full, cnt_full, cnt_full], axis=-1)
+    feats = jnp.stack([st, st * st, counts], axis=-1)
     feats = feats.reshape(-1, 12)
-    oh = (pix[:, None] == jnp.arange(npix)[None, :]).astype(f32)
+    oh = (p[:, None] == jnp.arange(npix)[None, :]).astype(f32)
     contrib = jnp.einsum("bp,bf->pf", oh, feats, preferred_element_type=f32)
     return detector + contrib.reshape(npix, 4, 3)
 
@@ -1140,8 +1275,9 @@ def _get_driver(spec: PallasSpec, width: int, interpret: bool):
         def body(c):
             out = fn(sf, c["si"], coarse, gt, lt_c, lt_r, *c["state"])
             state = tuple(out[:19])
-            outi = out[19]
-            recs = out[20:25]
+            outf = out[19]
+            outi = out[20]
+            recs = out[21:26]
             slot = c["seg"] % S
             rb = tuple(jax.lax.dynamic_update_slice(b, r[None], (slot, z0, z0))
                        for b, r in zip(c["recbuf"], recs))
@@ -1157,6 +1293,7 @@ def _get_driver(spec: PallasSpec, width: int, interpret: bool):
             return dict(
                 state=state, si=si, det=det, recbuf=rb,
                 tall=c["tall"] + outi[0, :7],
+                flux=c["flux"] + outf[0, 8:10],
                 rounds=c["rounds"] + outi[0, 8],
                 done=outi[0, 9] != 0,
                 n_emitted=outi[0, 7],
@@ -1168,13 +1305,13 @@ def _get_driver(spec: PallasSpec, width: int, interpret: bool):
             recbuf=(jnp.full((S, SEG_ROUNDS * RR, 128), -1, i32),)
             + tuple(jnp.zeros((S, SEG_ROUNDS * RR, 128), f32)
                     for _ in range(4)),
-            tall=jnp.zeros(7, i32),
+            tall=jnp.zeros(7, i32), flux=jnp.zeros(2, f32),
             rounds=z0, done=jnp.zeros((), bool), n_emitted=jnp.zeros((), i32),
             seg=z0)
         fin = jax.lax.while_loop(cond, body, init)
         det = _flush_arrays(npix, fin["det"], fin["recbuf"])
-        return (det, fin["tall"], fin["rounds"], fin["n_emitted"],
-                fin["done"], fin["seg"])
+        return (det, fin["tall"], fin["flux"], fin["rounds"],
+                fin["n_emitted"], fin["done"], fin["seg"])
 
     _FN_CACHE[key] = driver
     return driver
@@ -1196,7 +1333,7 @@ def _run_segmented(tables, static, spec, distinct, n_photons, seed, width,
                      jnp.asarray(id_lo, u32), u32(0)])
     max_segments = int((int(n_photons) // width + 2)
                        * (spec.max_scatter + 4) // SEG_ROUNDS + 2)
-    det, tall, rounds, n_emitted, done, segs = driver(
+    det, tall, flux, rounds, n_emitted, done, segs = driver(
         sf, si0, coarse, gt, lt_c, lt_r, tuple(_init_state(width)),
         jnp.asarray(max_segments, i32))
     tall = np.asarray(tall, np.int64)
@@ -1204,8 +1341,8 @@ def _run_segmented(tables, static, spec, distinct, n_photons, seed, width,
         "detector": det,
         "flow_global": jnp.zeros((1, 3), f32),
         "flow_theta": jnp.zeros((1, 4), f32),
-        "flux_emitted": jnp.zeros((), f32),
-        "flux_exit": jnp.zeros((), f32),
+        "flux_emitted": flux[0],
+        "flux_exit": flux[1],
         "n_error": int(tall[0]),
         "error_codes": jnp.asarray([tall[1], tall[2], tall[3], tall[4]],
                                    jnp.int32),

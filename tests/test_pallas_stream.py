@@ -77,14 +77,21 @@ def test_pallas_unsupported_configs():
     prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
     assert P.supports(prep.tables, static)          # imaging: segmented path
 
-    atm3 = presets.thermal_shell()
+    atm3 = presets.patchy_3d()
     cfg3 = ArtesConfig()
     cfg3.mode = "spectrum"
-    cfg3.photon_source = "planet"
     det3 = detector_setup(cfg3, float(atm3.rfront[-1]))
     static3 = _kernel_static(cfg3, det3, atm3, False)
     prep3 = build_tables(atm3, cfg3, det3, 0, dtype=jnp.float32)
-    assert not P.supports(prep3.tables, static3)    # thermal source
+    assert not P.supports(prep3.tables, static3)    # 3-D theta/phi grid
+
+    atm4 = presets.rayleigh_single_layer(tau=1.0)
+    cfg4 = ArtesConfig()
+    cfg4.mode = "spectrum"
+    det4 = detector_setup(cfg4, float(atm4.rfront[-1]))
+    static4 = _kernel_static(cfg4, det4, atm4, False)
+    prep4 = build_tables(atm4, cfg4, det4, 0, dtype=jnp.float64)
+    assert not P.supports(prep4.tables, static4)    # f64 tables
 
 
 def test_pallas_imaging_matches_run_stream():
@@ -111,3 +118,63 @@ def test_pallas_imaging_matches_run_stream():
                                rtol=2e-3, atol=1e-3)
     assert int(out["n_emitted"]) == n
     assert int(out["n_error"]) == int(ref["n_error"])
+
+
+@pytest.mark.parametrize("emission", ["isotropic", "biased"])
+def test_pallas_thermal_matches_run_stream(emission):
+    """Thermal source (BASELINE config #3 geometry): emissivity-CDF emission,
+    birth peel, flux bookkeeping — counts bit-equal to the XLA kernel."""
+    atm = presets.thermal_shell(tau_abs=0.8, nr=3)
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    cfg.photon_source = "planet"
+    cfg.photon_emission = emission
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    assert P.supports(prep.tables, static)
+
+    n, width = 600, 256
+    ref = run_stream(prep.tables, static, n, 7, width)
+    out = P.run_stream_pallas(prep.tables, static, n, 7, width,
+                              interpret=True)
+    det_ref = np.asarray(ref["detector"], np.float64)
+    det_out = np.asarray(out["detector"], np.float64)
+    np.testing.assert_array_equal(det_out[..., 2], det_ref[..., 2])
+    np.testing.assert_allclose(det_out[..., 0], det_ref[..., 0],
+                               rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(float(out["flux_emitted"]),
+                               float(ref["flux_emitted"]), rtol=1e-5)
+    np.testing.assert_allclose(float(out["flux_exit"]),
+                               float(ref["flux_exit"]), rtol=1e-4, atol=1e-6)
+    assert int(out["n_error"]) == int(ref["n_error"])
+
+
+def test_pallas_thermal_scattering_flux_exit():
+    """Scattering thermal shell: the exited-flux tally follows the XLA
+    kernel (energy bookkeeping, ARTES.f90:607, :780, :953)."""
+    from artes_tpu.opacity import isotropic
+    from artes_tpu.presets import R_JUP, _from_table
+
+    tab = isotropic.generate([10.0], absorption=0.5, scattering=0.5)
+    rfront = R_JUP + np.linspace(0.0, 500e3, 4)
+    density = (1.0 / 500e3) / ((tab.absorption[0] + tab.scattering[0]) / 10.0)
+    atm = _from_table(tab, rfront, (0.0, 180.0), (), density,
+                      temperature=900.0)
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    cfg.photon_source = "planet"
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+
+    n, width = 600, 256
+    ref = run_stream(prep.tables, static, n, 7, width)
+    out = P.run_stream_pallas(prep.tables, static, n, 7, width,
+                              interpret=True)
+    assert float(ref["flux_exit"]) > 0
+    np.testing.assert_allclose(float(out["flux_exit"]),
+                               float(ref["flux_exit"]), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out["detector"], np.float64)[..., 2],
+        np.asarray(ref["detector"], np.float64)[..., 2])
