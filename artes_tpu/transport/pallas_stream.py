@@ -2,34 +2,44 @@
 
 The XLA stream kernel (``kernel.run_stream``) is latency/HBM-bound: every
 round body materialises dozens of (width,)-shaped intermediates through HBM,
-so the VPU runs at <0.1 % utilisation (measured 982k photons/s on TPU v5e
-against a compute ceiling in the tens of millions). This module compiles the
-*entire* pool loop — refill, emission, scattering, the transport march, the
-detector peel walk and the splat — into a single Pallas kernel whose state
-lives in VMEM, eliminating the HBM round-trips.
+so the VPU runs at <0.1 % utilisation (measured ~4M photons/s on TPU v5e
+against a compute ceiling in the hundreds of millions). This module compiles
+the *entire* pool loop — refill, emission, scattering, the transport march,
+the detector peel walk and the splat — into a single Pallas kernel whose
+state lives in VMEM, eliminating the HBM round-trips. Measured on TPU v5e
+(r3): 78-86M photons/s reflected-light spectrum, 91M thermal, 36M for a
+25x25 imaging detector — 20-100x the XLA pool.
 
 Semantics: bit-identical photon streams to ``run_stream`` (same hand-rolled
 threefry2x32, same per-lane event-history draw-site schedule, same geometry
-and Mueller algebra re-derived in structure-of-arrays form); detector sums
-differ only by f32 summation order. ``tests/test_pallas_stream.py`` checks
-this against the XLA kernel in interpreter mode.
+and Mueller algebra re-derived in structure-of-arrays form); detector splat
+counts are bit-equal, moments differ only by f32 evaluation order.
+``tests/test_pallas_stream.py`` checks this against the XLA kernel in
+interpreter mode.
 
 Scope (everything else falls back to ``run_stream``; see :func:`supports`):
 
-* stellar source (``photon_source == 1``), scattering on, no flow tracking,
-* radial-only grids (``ntheta == nphi == 1``, ``nr <= 32``) — the geometry of
-  BASELINE configs #1-#3 (reference grids: ARTES.f90:2800-3470 restricted to
-  radial faces),
-* single-pixel detector (spectrum / photometry / phase-curve modes),
+* stellar (incl. off-axis/crescent) and thermal (isotropic or Gordon-biased
+  emission, birth peel, flux bookkeeping) sources, scattering on, no flow
+  tracking,
+* radial-only grids (``ntheta == nphi == 1``, ``nr <= 32``, oblateness ok) —
+  the geometry of BASELINE configs #1-#3 (reference grids:
+  ARTES.f90:2800-3470 restricted to radial faces),
+* detectors up to 2048 pixels: single-pixel runs accumulate in-kernel;
+  multi-pixel runs use the SEGMENTED form — state rides through aliased
+  refs, scatter-peel records stream out, and one fused device program
+  (lax.while_loop over segments) flushes ~1M records per XLA one-hot einsum,
 * absorbing surface (``surface_albedo == 0``) and float32 tables.
 
 Layout: the lane pool is structure-of-arrays — every per-photon variable is
 its own ``(width/128, 128)`` tile-aligned array, so each physics formula is a
-VPU op with no minor-dimension padding. Per-cell tables (opacities, CDF
-prefix tables, scattering-matrix columns) are scalars in SMEM, broadcast into
-the vector ops; the host wrapper deduplicates scattering-matrix columns
-(equal/negated/zero, e.g. the 6 distinct entries of a Rayleigh matrix) so the
-per-event 180-bin matrix interpolation only selects distinct columns.
+VPU op with no minor-dimension padding. Non-cell scalars live in SMEM;
+per-cell/per-bin tables (scattering-matrix columns, alpha-CDF edges) are
+row tables in VMEM read by 128-lane dynamic gathers (``take_along_axis``,
+the one vector-subscript form Mosaic lowers natively) — O(1) per lookup
+where compare-select chains cost O(n_bins). The host wrapper deduplicates
+scattering-matrix columns (equal/negated/zero, e.g. the 6 distinct entries
+of a Rayleigh matrix) so only distinct columns are gathered.
 """
 
 from __future__ import annotations
