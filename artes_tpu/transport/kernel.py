@@ -390,6 +390,12 @@ def _emit(t: TransportTables, static: KernelStatic, keys, counter, dtype):
     # thermal: sample cell from the cumulative-emissivity CDF (:1124-1155)
     u_cell, u_r, u_t, u_p, u_a, u_b = R.uniform_n(keys, counter, 6, dtype)
     counter = counter + 6
+    # keep the birth point off the cell faces: f32 rounding snaps
+    # r0 + u*dr onto the face for u < ~ulp(r0)/dr (measured 3e-5 of thermal
+    # births erroring in their birth peel); the position bias is < 1e-4 of
+    # the cell width
+    u_r = jnp.clip(u_r, 1.0e-4, 1.0 - 1.0e-4)
+    u_t = jnp.clip(u_t, 1.0e-4, 1.0 - 1.0e-4)
     total = t.emis_cum[-1]
     target = u_cell * total
     idx = jnp.searchsorted(t.emis_cum, target, side="left").astype(jnp.int32)

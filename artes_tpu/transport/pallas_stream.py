@@ -707,6 +707,9 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             # isotropic or Gordon-biased direction (kernel.py _emit, planet)
             u_cell, u_r, u_t, u_p, u_a, u_b = R.uniform_n_kk(
                 k0, k1, u32(0), 6, f32)
+            # keep the birth point off the cell faces (see kernel.py _emit)
+            u_r = jnp.clip(u_r, 1.0e-4, 1.0 - 1.0e-4)
+            u_t = jnp.clip(u_t, 1.0e-4, 1.0 - 1.0e-4)
             total = sf[ec_off + nr - 1]
             target = u_cell * total
             cr_e = zi
