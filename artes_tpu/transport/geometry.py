@@ -56,8 +56,14 @@ def small_gather(table, idx):
         out = small_gather(t.astype(jnp.float32), idx) > 0.5
         return out[..., 0] if squeeze else out
     oh = jax.nn.one_hot(idx, t.shape[0], dtype=t.dtype)
+    # HIGHEST precision is load-bearing: the TPU MXU's default bf16 pass
+    # rounds the gathered TABLE VALUES to 8-bit mantissas (~0.4% error on
+    # face radii and opacities), which silently skewed every nr>1 f32 run on
+    # TPU (measured: 2.26 vs the true 3.04 scatters/photon on an HG deck —
+    # photons escaped early through bf16-displaced faces)
     out = jnp.einsum("bt,tk->bk", oh, t,
-                     preferred_element_type=t.dtype)
+                     preferred_element_type=t.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
     return out[..., 0] if squeeze else out
 
 

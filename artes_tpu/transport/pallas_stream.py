@@ -22,9 +22,9 @@ Scope (everything else falls back to ``run_stream``; see :func:`supports`):
 * stellar (incl. off-axis/crescent) and thermal (isotropic or Gordon-biased
   emission, birth peel, flux bookkeeping) sources, scattering on, no flow
   tracking,
-* radial-only grids (``ntheta == nphi == 1``, ``nr <= 32``, oblateness ok) —
-  the geometry of BASELINE configs #1-#3 (reference grids:
-  ARTES.f90:2800-3470 restricted to radial faces),
+* full 3-D r/theta/phi grids up to 32 cells (theta cones with nappe
+  rejection, the z=0 plane face, phi half-planes with wraparound — the
+  geometry of BASELINE #4's patchy zones; ARTES.f90:2800-3470), oblateness,
 * detectors up to 2048 pixels: single-pixel runs accumulate in-kernel;
   multi-pixel runs use the SEGMENTED form — state rides through aliased
   refs, scatter-peel records stream out, and one fused device program
@@ -105,6 +105,8 @@ class PallasSpec:
     ny: int = 1          # segmented kernel + XLA record flush)
     thermal: bool = False    # planet source: emissivity-CDF emission,
     emission: int = 1        # birth peel, flux tallies; 1 iso / 2 biased
+    ntheta: int = 1          # 3-D grids: theta cones/z=0 plane + phi
+    nphi: int = 1            # half-planes (ARTES.f90:3030-3350)
 
 
 def supports(tables, static) -> bool:
@@ -114,11 +116,13 @@ def supports(tables, static) -> bool:
         sa = float(tables.surface_albedo)
     except Exception:
         return False  # traced tables: cannot specialise eagerly
+    ncell = g.nr * g.ntheta * g.nphi
     return (static.photon_source in (1, 2)
             and static.photon_scattering
             and not static.track_flow
             and 1 <= static.nx * static.ny <= 2048
-            and g.ntheta == 1 and g.nphi == 1 and 1 <= g.nr <= 32
+            and 1 <= g.nr <= 32 and g.ntheta <= 8 and g.nphi <= 8
+            and ncell <= 32
             and tables.opacity.dtype == jnp.float32
             and sa == 0.0)
 
@@ -162,6 +166,7 @@ def make_spec(tables, static) -> PallasSpec:
         nx=static.nx, ny=static.ny,
         thermal=static.photon_source == 2,
         emission=static.photon_emission,
+        ntheta=g.ntheta, nphi=g.nphi,
     ), distinct
 
 
@@ -208,7 +213,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
     """Construct the Pallas kernel body for one (spec, width).
 
     ``seg_k`` switches to the SEGMENTED multi-pixel form: the pool state
-    rides in via 19 input refs and out via 19 output refs, the loop runs at
+    rides in via 21 input refs and out via 21 output refs, the loop runs at
     most ``seg_k`` rounds, and instead of in-kernel accumulators the kernel
     emits per-round scatter-peel RECORDS (pixel id + weighted Stokes) that
     the host wrapper flushes through one large XLA one-hot einsum — building
@@ -219,43 +224,49 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
     C = 128
     RR = width // C
     nr = spec.nr
+    NT = spec.ntheta
+    NP = spec.nphi
+    NC = nr * NT * NP               # flat cell count for per-cell tables
     ax, by, cz = spec.ob
     a2, b2, c2 = ax * ax, by * by, cz * cz
     pos_eps = spec.pos_eps
     D = spec.n_distinct
 
-    def sel_cell(read, cr):
-        """table[cr] for per-lane radial cell cr via unrolled selects.
+    def sel_n(read, idx, n):
+        """table[idx] for a per-lane index via unrolled selects.
 
-        ``read(i)`` returns the scalar for cell i (an SMEM load)."""
-        if nr == 1:
-            return jnp.zeros(cr.shape, f32) + read(0)
-        acc = jnp.zeros(cr.shape, f32)
-        for i in range(nr):
-            acc = jnp.where(cr == i, read(i), acc)
+        ``read(i)`` returns the scalar for entry i (an SMEM load)."""
+        if n == 1:
+            return jnp.zeros(idx.shape, f32) + read(0)
+        acc = jnp.zeros(idx.shape, f32)
+        for i in range(n):
+            acc = jnp.where(idx == i, read(i), acc)
         return acc
+
+    def sel_cell(read, cr):
+        return sel_n(read, cr, nr)
 
     # gather-table geometry: lane tables are rows of 128 entries; per-lane
     # lookups are 128-lane dynamic gathers (jnp.take_along_axis along lanes,
     # the one vector-subscript form Mosaic lowers natively) instead of
     # O(n_bins) compare-select chains — measured 2.3x on the whole kernel
-    nch_m = -(-(nr * N_ANGLE) // 128)      # scattering-matrix bin chunks
-    nch_f = -(-(nr * N_COARSE) // 128)     # fine-CDF block chunks
+    nch_m = -(-(NC * N_ANGLE) // 128)      # scattering-matrix bin chunks
+    nch_f = -(-(NC * N_COARSE) // 128)     # fine-CDF block chunks
 
     # pool-state fields round-tripped through refs in segmented mode
     _STATE = ("stage", "pid", "ctr", "px", "py", "pz", "dx", "dy", "dz",
-              "sI", "sQ", "sU", "sV", "cr", "fax", "fidx", "tau_first",
-              "pre_surface", "n_scat")
+              "sI", "sQ", "sU", "sV", "cr", "ct", "cp", "fax", "fidx",
+              "tau_first", "pre_surface", "n_scat")
 
     def kernel(sf, si, coarse, gt, lt_c, lt_r, *rest):
         if seg_k is None:
             outf, outi = rest
         else:
-            st_in = rest[:19]
-            st_out = rest[19:38]
-            outf = rest[38]
-            outi = rest[39]
-            rec_refs = rest[40:45]     # pix, I, Q, U, V
+            st_in = rest[:21]
+            st_out = rest[21:42]
+            outf = rest[42]
+            outi = rest[43]
+            rec_refs = rest[44:49]     # pix, I, Q, U, V
         n_photons = si[0]
         seed = si[1]       # pre-mixed with the id high word (rng.key_hi)
         id_lo = si[2]      # low word of the chunk's first global photon id
@@ -264,9 +275,9 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         off = 0
         rf = [sf[off + i] for i in range(nr + 1)]
         off += nr + 1
-        op_off = off; off += nr
-        al_off = off; off += nr
-        pint_off = off; off += 4 * nr
+        op_off = off; off += NC
+        al_off = off; off += NC
+        pint_off = off; off += 4 * NC
         fstop = sf[off]; pmin = sf[off + 1]
         x_max = sf[off + 2]; y_max = sf[off + 3]
         off += 4
@@ -278,9 +289,14 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         e2x, e2y, e2z = sf[off + 6], sf[off + 7], sf[off + 8]
         whx, why, whz = sf[off + 9], sf[off + 10], sf[off + 11]
         off += 12
-        ec_off = off          # thermal emissivity CDF (nr entries)
-        cw_off = off + nr     # thermal cell weights (nr entries)
-        ph_bias = sf[off + 2 * nr]
+        ec_off = off               # thermal emissivity CDF (NC entries)
+        cw_off = off + NC          # thermal cell weights (NC entries)
+        ph_bias = sf[off + 2 * NC]
+        off += 2 * NC + 1
+        tc_off = off               # theta_combo (NT, 6) flat
+        pc_off = off + NT * 6      # phi_combo (NP, 4) flat
+        tcos_off = pc_off + NP * 4     # theta_cos (NT+1)
+        phif_off = tcos_off + NT + 1   # phifront (NP+1), last = 2*pi
 
         dshape = (RR, C)
         zf = jnp.zeros(dshape, f32)
@@ -299,7 +315,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         fine_rows = n_act * (N_FINE + 1) * nch_f
         gbc = [jnp.broadcast_to(gt[r:r + 1, :], dshape)
                for r in range(mat_rows + fine_rows
-                              + (n_act * (N_COARSE + 1) if nr > 1 else 0))]
+                              + (n_act * (N_COARSE + 1) if NC > 1 else 0))]
 
         def lane_gather(row0, nch, idx):
             """table[idx] for a table spread over gt rows row0..row0+nch-1."""
@@ -313,11 +329,11 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             return res
 
 
-        def opacity_at(cr):
-            return sel_cell(lambda i: sf[op_off + i], cr)
+        def opacity_at(fc):
+            return sel_n(lambda i: sf[op_off + i], fc, NC)
 
-        def albedo_at(cr):
-            return sel_cell(lambda i: sf[al_off + i], cr)
+        def albedo_at(fc):
+            return sel_n(lambda i: sf[al_off + i], fc, NC)
 
         # ---- geometry: radial-only cell_face (geometry.py:224-397) ----
         def quadratic(qa, qb, qc):
@@ -345,50 +361,182 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             qc = a2 * px * px + b2 * py * py + c2 * pz * pz - r_face * r_face
             return pick_root(*quadratic(qa, qb, qc), eps)
 
-        def cell_face(px, py, pz, dx, dy, dz, cr, fax, fidx):
+        def cell_face(px, py, pz, dx, dy, dz, cr, ct, cp, fax, fidx):
+            """Full 3-D traversal step (geometry.py cell_face in SoA form):
+            oblate radial spheres, theta cones / z=0 plane with nappe
+            rejection, phi half-planes with wraparound, two-tier epsilon
+            selection and the boundary-pinned rescue."""
             cur_r = fax == 1
             rp0 = sel_cell(lambda i: rf[i], cr)
             rp1 = sel_cell(lambda i: rf[i + 1], cr)
             r_in_active = ~(cur_r & (cr == fidx))
-            d_in = jnp.where(r_in_active,
-                             sphere_distance(px, py, pz, dx, dy, dz, rp0, pos_eps),
-                             0.0)
+            d_r_in = jnp.where(
+                r_in_active,
+                sphere_distance(px, py, pz, dx, dy, dz, rp0, pos_eps), 0.0)
             r_same = cur_r & (cr == fidx - 1)
-            d_out = sphere_distance(px, py, pz, dx, dy, dz, rp1,
-                                    jnp.where(r_same, spec.same_eps, pos_eps))
+            d_r_out = sphere_distance(px, py, pz, dx, dy, dz, rp1,
+                                      jnp.where(r_same, spec.same_eps,
+                                                pos_eps))
+
+            if NT > 1:
+                cur_t = fax == 2
+
+                def tcol(k):
+                    return sel_n(lambda i, k=k: sf[tc_off + i * 6 + k], ct, NT)
+
+                def cone_distance(tan_t, is_cone, above, eps):
+                    t2 = tan_t * tan_t
+                    qa = a2 * dx * dx + b2 * dy * dy - c2 * dz * dz * t2
+                    qb = 2.0 * (a2 * px * dx + b2 * py * dy
+                                - c2 * pz * dz * t2)
+                    qc = a2 * px * px + b2 * py * py - c2 * pz * pz * t2
+                    s1, s2 = quadratic(qa, qb, qc)
+
+                    def nappe_ok(s):
+                        z_test = pz + s * dz
+                        wrong = ((z_test > 0.0) & ~above) \
+                            | ((z_test < 0.0) & above)
+                        return jnp.where((s > pos_eps) & wrong, 0.0, s)
+
+                    d_cone = pick_root(nappe_ok(s1), nappe_ok(s2), eps)
+                    s_plane = -pz / jnp.where(dz == 0.0, 1.0, dz)
+                    return is_cone, d_cone, s_plane
+
+                tan_in, cone_in, above_in = tcol(0), tcol(1) > 0.5, tcol(2) > 0.5
+                tan_out, cone_out, above_out = tcol(3), tcol(4) > 0.5, tcol(5) > 0.5
+                t_in_same = cur_t & (ct == fidx) & ~above_in
+                t_in_active = (ct > 0) & (
+                    ~cur_t | (cur_t & (ct == fidx - 1)) | t_in_same)
+                ic_in, dc_in, sp_in = cone_distance(
+                    tan_in, cone_in, above_in,
+                    jnp.where(t_in_same, spec.same_eps, pos_eps))
+                d_plane_in = jnp.where((sp_in > 0.0) & (dz > pos_eps),
+                                       sp_in, 0.0)
+                d_t_in = jnp.where(t_in_active,
+                                   jnp.where(ic_in, dc_in, d_plane_in), 0.0)
+                t_out_same = cur_t & (ct == fidx - 1) & above_out
+                t_out_active = (ct + 1 < NT) & (
+                    ~cur_t | (cur_t & (ct == fidx)) | t_out_same)
+                ic_out, dc_out, sp_out = cone_distance(
+                    tan_out, cone_out, above_out,
+                    jnp.where(t_out_same, spec.same_eps, pos_eps))
+                d_plane_out = jnp.where((sp_out > 0.0) & (dz < -pos_eps),
+                                        sp_out, 0.0)
+                d_t_out = jnp.where(t_out_active,
+                                    jnp.where(ic_out, dc_out, d_plane_out),
+                                    0.0)
+            else:
+                d_t_in = zf
+                d_t_out = zf
+
+            if NP > 1:
+                cur_p = fax == 3
+
+                def pcol(k):
+                    return sel_n(lambda i, k=k: sf[pc_off + i * 4 + k], cp, NP)
+
+                def phi_plane(sin_p, cos_p):
+                    denom = by * dy * cos_p - ax * dx * sin_p
+                    s = (ax * px * sin_p - by * py * cos_p) \
+                        / jnp.where(denom == 0.0, 1.0, denom)
+                    valid = (jnp.abs(denom) > 0.0) & (s > pos_eps) & (s < BIG)
+                    return jnp.where(valid, s, 0.0)
+
+                p_outer_idx = jnp.where(cp + 1 == NP, 0, cp + 1)
+                p_inward = cur_p & ((cp == fidx - 1)
+                                    | ((cp == NP - 1) & (fidx == 0)))
+                p_outward = cur_p & (cp == fidx) & ~p_inward
+                d_p_in = jnp.where(~cur_p | p_inward,
+                                   phi_plane(pcol(0), pcol(1)), 0.0)
+                d_p_out = jnp.where(~cur_p | p_outward,
+                                    phi_plane(pcol(2), pcol(3)), 0.0)
+            else:
+                p_outer_idx = zi
+                d_p_in = zf
+                d_p_out = zf
+
+            # candidate scan; inactive axes are dropped at trace time so the
+            # radial-only kernel keeps its 2-candidate cost. Slot order within
+            # the list mirrors geometry.py (in faces first, then out faces).
+            ins = [(d_r_in, 1, cr)]
+            outs = [(d_r_out, 1, cr + 1)]
+            if NT > 1:
+                ins.append((d_t_in, 2, ct))
+                outs.append((d_t_out, 2, ct + 1))
+            if NP > 1:
+                ins.append((d_p_in, 3, cp))
+                outs.append((d_p_out, 3, p_outer_idx))
+            cands = ins + outs
+            n_in = len(ins)
 
             def tier(eps):
-                m0 = jnp.where(d_in > eps, d_in, BIG)
-                m1 = jnp.where(d_out > eps, d_out, BIG)
-                return jnp.minimum(m0, m1), m1 < m0
+                best = jnp.full(dshape, BIG, f32)
+                slot = jnp.full(dshape, -1, i32)
+                for s_i, (d_c, _, _) in enumerate(cands):
+                    d_m = jnp.where(d_c > eps, d_c, BIG)
+                    take = d_m < best
+                    best = jnp.where(take, d_m, best)
+                    slot = jnp.where(take, s_i, slot)
+                return best, slot
 
-            dist1, out1 = tier(spec.sel1)
-            dist2, out2 = tier(spec.sel2)
+            dist1, slot1 = tier(spec.sel1)
+            dist2, slot2 = tier(spec.sel2)
             fb = dist1 >= BIG
             dist = jnp.where(fb, dist2, dist1)
-            outward = (fb & out2) | (~fb & out1)
+            slot = jnp.where(fb, slot2, slot1)
             no_cand = dist >= BIG
             dist = jnp.where(no_cand, 0.0, dist)
 
-            # boundary-pinned rescue (geometry.py:343-363)
+            # boundary-pinned rescue (geometry.py:347-367)
             rho2 = a2 * px * px + b2 * py * py + c2 * pz * pz
             rad_dot = a2 * px * dx + b2 * py * dy + c2 * pz * dz
             tol = spec.boundary_tol
-            on_outer = no_cand & (rho2 >= (r_outer * (1.0 - tol)) ** 2) & (rad_dot > 0.0)
-            on_floor = no_cand & ~on_outer & (rho2 <= (r_floor * (1.0 + tol)) ** 2) \
+            on_outer = no_cand & (rho2 >= (r_outer * (1.0 - tol)) ** 2) \
+                & (rad_dot > 0.0)
+            on_floor = no_cand & ~on_outer \
+                & (rho2 <= (r_floor * (1.0 + tol)) ** 2) \
                 & (rad_dot < 0.0) & (cr == cd)
             rescued = on_outer | on_floor
             err_nocand = no_cand & ~rescued
 
-            outward = (rescued & on_outer) | (~rescued & outward)
-            next_idx = jnp.where(outward, cr + 1, cr)
-            next_idx = jnp.where(on_outer, nr, jnp.where(on_floor, cd, next_idx))
-            cr_out = jnp.where(outward, cr + 1, cr - 1)
-            grid_exit = next_idx == nr
-            err_degen = cur_r & (fidx == cd) & (next_idx == cd)
-            return dict(distance=dist, next_idx=next_idx, cr_out=cr_out,
+            next_ax = zi
+            next_idx = zi
+            for s_i, (_, ax_i, fi_i) in enumerate(cands):
+                hit = slot == s_i
+                next_ax = jnp.where(hit, ax_i, next_ax)
+                next_idx = jnp.where(hit, fi_i, next_idx)
+            next_ax = jnp.where(rescued, 1, next_ax)
+            next_idx = jnp.where(on_outer, nr,
+                                 jnp.where(on_floor, cd, next_idx))
+
+            # boolean algebra, not where: Mosaic cannot truncate i32 selects
+            # to i1 vectors
+            outward = (rescued & on_outer) | (~rescued & (slot >= n_in))
+            cr_out = jnp.where(next_ax == 1,
+                               jnp.where(outward, cr + 1, cr - 1), cr)
+            if NT > 1:
+                ct_out = jnp.where(next_ax == 2,
+                                   jnp.where(outward, ct + 1, ct - 1), ct)
+            else:
+                ct_out = ct
+            if NP > 1:
+                cp_next = jnp.where(outward, cp + 1, cp - 1)
+                cp_next = jnp.where(cp_next < 0, NP - 1,
+                                    jnp.where(cp_next >= NP, 0, cp_next))
+                cp_out = jnp.where(next_ax == 3, cp_next, cp)
+            else:
+                cp_out = cp
+            grid_exit = (next_ax == 1) & (next_idx == nr)
+            err_degen = cur_r & (fidx == cd) & (next_ax == 1) & (next_idx == cd)
+            return dict(distance=dist, next_ax=next_ax, next_idx=next_idx,
+                        cr_out=cr_out, ct_out=ct_out, cp_out=cp_out,
                         grid_exit=grid_exit, err_nocand=err_nocand,
                         err_degen=err_degen, error=err_nocand | err_degen)
+
+        def flatc(cr, ct, cp):
+            if NT == 1 and NP == 1:
+                return cr
+            return (cr * NT + ct) * NP + cp
 
         # Loop-carried booleans are stored as i32 masks: Mosaic cannot
         # legalize vector<i1> carries through scf.yield.
@@ -396,21 +544,23 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             return x.astype(i32)
 
         # ---- transport march (kernel.py _march, transport half) ----
-        def march(px, py, pz, dx, dy, dz, cr, fax, fidx, tau, active, ctr):
+        def march(px, py, pz, dx, dy, dz, cr, ct, cp, fax, fidx, tau,
+                  active, ctr):
             def cond(c):
                 return jnp.any(c["m"] != 0) & (c["it"] < spec.max_crossings)
 
             def body(c):
                 m = c["m"] != 0
                 out = cell_face(c["px"], c["py"], c["pz"], dx, dy, dz,
-                                c["cr"], c["fax"], c["fidx"])
+                                c["cr"], c["ct"], c["cp"], c["fax"], c["fidx"])
                 d = out["distance"]
-                k = opacity_at(c["cr"])
+                k = opacity_at(flatc(c["cr"], c["ct"], c["cp"]))
                 tau_cell = d * k
                 interact = c["tau_run"] + tau_cell > tau
                 s_int = (tau - c["tau_run"]) / jnp.where(k == 0.0, 1.0, k)
                 step = jnp.where(interact, s_int, d)
-                hit_surface = ~interact & (out["next_idx"] == cd)
+                hit_surface = ~interact & (out["next_ax"] == 1) \
+                    & (out["next_idx"] == cd)
                 absorbed = m & hit_surface          # surface_albedo == 0
                 crossing = m & ~interact
                 err = (c["err"] != 0) | (m & out["error"])
@@ -420,7 +570,10 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                     py=jnp.where(m, c["py"] + step * dy, c["py"]),
                     pz=jnp.where(m, c["pz"] + step * dz, c["pz"]),
                     cr=jnp.where(crossing, out["cr_out"], c["cr"]),
-                    fax=jnp.where(crossing, 1, jnp.where(m & interact, 0, c["fax"])),
+                    ct=jnp.where(crossing, out["ct_out"], c["ct"]),
+                    cp=jnp.where(crossing, out["cp_out"], c["cp"]),
+                    fax=jnp.where(crossing, out["next_ax"],
+                                  jnp.where(m & interact, 0, c["fax"])),
                     fidx=jnp.where(crossing, out["next_idx"],
                                    jnp.where(m & interact, 0, c["fidx"])),
                     tau_run=c["tau_run"] + jnp.where(crossing, tau_cell, 0.0),
@@ -435,12 +588,14 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                     it=c["it"] + 1,
                 )
 
-            init = dict(px=px, py=py, pz=pz, cr=cr, fax=fax, fidx=fidx,
+            init = dict(px=px, py=py, pz=pz, cr=cr, ct=ct, cp=cp,
+                        fax=fax, fidx=fidx,
                         tau_run=zf, inter=zi, err=zi, e031=zi, e034=zi,
                         exb=zi, ctr=ctr, m=b2i(active), it=jnp.asarray(0, i32))
             o = jax.lax.while_loop(cond, body, init)
             marching = o["m"] != 0
-            return dict(px=o["px"], py=o["py"], pz=o["pz"], cr=o["cr"],
+            return dict(px=o["px"], py=o["py"], pz=o["pz"],
+                        cr=o["cr"], ct=o["ct"], cp=o["cp"],
                         fax=o["fax"], fidx=o["fidx"], ctr=o["ctr"],
                         inter=o["inter"] != 0,
                         err=(o["err"] != 0) | marching,
@@ -448,24 +603,26 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                         e032=marching, exited=o["exb"] != 0)
 
         # ---- peel / prewalk tau walk (the merged-march peel half) ----
-        def tau_walk(px, py, pz, dx, dy, dz, cr, fax, fidx, active):
+        def tau_walk(px, py, pz, dx, dy, dz, cr, ct, cp, fax, fidx, active):
             def cond(c):
                 return jnp.any(c["m"] != 0) & (c["it"] < spec.max_crossings)
 
             def body(c):
                 m = c["m"] != 0
                 out = cell_face(c["px"], c["py"], c["pz"], dx, dy, dz,
-                                c["cr"], c["fax"], c["fidx"])
+                                c["cr"], c["ct"], c["cp"], c["fax"], c["fidx"])
                 d = out["distance"]
-                tau_cell = d * opacity_at(c["cr"])
-                hit_surface = out["next_idx"] == cd
+                tau_cell = d * opacity_at(flatc(c["cr"], c["ct"], c["cp"]))
+                hit_surface = (out["next_ax"] == 1) & (out["next_idx"] == cd)
                 stop = out["grid_exit"] | out["error"] | hit_surface
                 return dict(
                     px=jnp.where(m, c["px"] + d * dx, c["px"]),
                     py=jnp.where(m, c["py"] + d * dy, c["py"]),
                     pz=jnp.where(m, c["pz"] + d * dz, c["pz"]),
                     cr=jnp.where(m, out["cr_out"], c["cr"]),
-                    fax=jnp.where(m, 1, c["fax"]),
+                    ct=jnp.where(m, out["ct_out"], c["ct"]),
+                    cp=jnp.where(m, out["cp_out"], c["cp"]),
+                    fax=jnp.where(m, out["next_ax"], c["fax"]),
                     fidx=jnp.where(m, out["next_idx"], c["fidx"]),
                     tau=c["tau"] + jnp.where(m, tau_cell, 0.0),
                     exited=c["exited"] | b2i(m & out["grid_exit"]),
@@ -475,7 +632,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                     it=c["it"] + 1,
                 )
 
-            init = dict(px=px, py=py, pz=pz, cr=cr, fax=fax, fidx=fidx,
+            init = dict(px=px, py=py, pz=pz, cr=cr, ct=ct, cp=cp,
+                        fax=fax, fidx=fidx,
                         tau=zf, exited=zi, surface=zi, err=zi,
                         m=b2i(active), it=jnp.asarray(0, i32))
             o = jax.lax.while_loop(cond, body, init)
@@ -485,12 +643,12 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
         # ---- 180-bin matrix interpolation (sampling.matrix_at_angle_deg):
         # two lane-gathers per distinct column (bins r0, r0+1) ----
-        def matrix_at(cr, angle_deg):
+        def matrix_at(fc, angle_deg):
             t = angle_deg - 0.5
             r0 = jnp.clip(jnp.floor(t).astype(i32), 0, N_ANGLE - 2)
             frac = jnp.clip(t - r0.astype(f32), 0.0, 1.0)
             one_m = 1.0 - frac
-            idx = cr * N_ANGLE + r0 if nr > 1 else r0
+            idx = fc * N_ANGLE + r0 if NC > 1 else r0
             cols = []
             for d_ in range(D):
                 v0 = lane_gather(d_ * nch_m, nch_m, idx)
@@ -561,13 +719,13 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             return nx * inv_n, ny * inv_n, nz * inv_n
 
         # ---- scattering-angle samplers (sampling.py) ----
-        def pint_at(cr, k):
-            return sel_cell(lambda i: sf[pint_off + 4 * i + k], cr)
+        def pint_at(fc, k):
+            return sel_n(lambda i: sf[pint_off + 4 * i + k], fc, NC)
 
-        def sample_beta(cr, stokes, u1, u2):
+        def sample_beta(fc, stokes, u1, u2):
             si_, sq, su, sv = stokes
-            p11 = pint_at(cr, 0); p12 = pint_at(cr, 1)
-            p13 = pint_at(cr, 2); p14 = pint_at(cr, 3)
+            p11 = pint_at(fc, 0); p12 = pint_at(fc, 1)
+            p13 = pint_at(fc, 2); p14 = pint_at(fc, 3)
             a = p11 * si_ + p14 * sv
             b = p12 * sq + p13 * su
             cc = p12 * su - p13 * sq
@@ -608,14 +766,14 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             beta = jnp.where(beta <= 0.0, 1.0e-10, beta)
             return beta, c2b, s2b
 
-        def sample_alpha(cr, stokes, c2b, s2b, u3):
+        def sample_alpha(fc, stokes, c2b, s2b, u3):
             si_, sq, su, sv = stokes
             wts = [si_, c2b * sq + s2b * su, -s2b * sq + c2b * su, sv]
             act = spec.alpha_active
 
             cum_c = []
             for j in range(N_COARSE + 1):
-                if nr == 1:
+                if NC == 1:
                     acc = zf
                     for k in act:
                         acc = acc + wts[k] * coarse[k * 16 + j]
@@ -623,7 +781,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                     acc = zf
                     for ai, k in enumerate(act):
                         row = mat_rows + fine_rows + ai * (N_COARSE + 1) + j
-                        acc = acc + wts[k] * lane_gather(row, 1, cr)
+                        acc = acc + wts[k] * lane_gather(row, 1, fc)
                 cum_c.append(acc)
             target = u3 * cum_c[N_COARSE]
             k1 = zi
@@ -632,7 +790,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
             # fine CDF at the lane's (cell, coarse-block): one gather per
             # (Stokes row, fine edge) from (nr*15)-entry tables
-            fidx = cr * N_COARSE + k1 if nr > 1 else k1
+            fidx = fc * N_COARSE + k1 if NC > 1 else k1
             cum_f = []
             for j in range(N_FINE + 1):
                 acc = zf
@@ -657,11 +815,11 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             return alpha, alpha_deg
 
         # ---- detector peel prep (kernel.py _peel_photon_prep) ----
-        def peel_prep(px, py, pz, dx, dy, dz, cr, stokes):
+        def peel_prep(px, py, pz, dx, dy, dz, fc, stokes):
             eps = 1.0e-10
             mu = dx * ddx + dy * ddy + dz * ddz
             mu = jnp.clip(mu, -1.0 + eps, 1.0 - eps)
-            ent = matrix_at(cr, _acos(mu) * np.float32(1.0 / _DEG))
+            ent = matrix_at(fc, _acos(mu) * np.float32(1.0 / _DEG))
             denom = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0)) * \
                 jnp.sqrt(jnp.maximum(1.0 - dz * dz, 0.0))
             num = (ddz - dz * mu) / jnp.where(denom == 0.0, 1.0, denom)
@@ -710,17 +868,34 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             # keep the birth point off the cell faces (see kernel.py _emit)
             u_r = jnp.clip(u_r, 1.0e-4, 1.0 - 1.0e-4)
             u_t = jnp.clip(u_t, 1.0e-4, 1.0 - 1.0e-4)
-            total = sf[ec_off + nr - 1]
+            total = sf[ec_off + NC - 1]
             target = u_cell * total
-            cr_e = zi
-            for i in range(nr - 1):
-                cr_e = cr_e + (sf[ec_off + i] < target).astype(i32)
+            fc_e = zi
+            for i in range(NC - 1):
+                fc_e = fc_e + (sf[ec_off + i] < target).astype(i32)
+            # flat -> (cr, ct, cp) by unrolled select (no integer div/mod)
+            cr_e, ct_e, cp_e = zi, zi, zi
+            for i in range(NC):
+                hit = fc_e == i
+                cr_e = jnp.where(hit, i // (NT * NP), cr_e)
+                ct_e = jnp.where(hit, (i // NP) % NT, ct_e)
+                cp_e = jnp.where(hit, i % NP, cp_e)
             r0 = sel_cell(lambda i: rf[i], cr_e)
             r1 = sel_cell(lambda i: rf[i + 1], cr_e)
             r = r0 + u_r * (r1 - r0)
-            cos_t = 1.0 - 2.0 * u_t          # theta_cos [1, -1] (ntheta==1)
+            if NT == 1:
+                cos_t = 1.0 - 2.0 * u_t      # theta_cos [1, -1]
+            else:
+                tc0 = sel_n(lambda i: sf[tcos_off + i], ct_e, NT)
+                tc1 = sel_n(lambda i: sf[tcos_off + i + 1], ct_e, NT)
+                cos_t = tc0 + u_t * (tc1 - tc0)
             sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-            phi = TWO_PI * u_p
+            if NP == 1:
+                phi = TWO_PI * u_p
+            else:
+                pf0 = sel_n(lambda i: sf[phif_off + i], cp_e, NP)
+                pf1 = sel_n(lambda i: sf[phif_off + i + 1], cp_e, NP)
+                phi = pf0 + u_p * (pf1 - pf0)
             e_px = r * sin_t * jnp.cos(phi) / ax
             e_py = r * sin_t * jnp.sin(phi) / by
             e_pz = r * cos_t / cz
@@ -748,8 +923,38 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
                 bias_w = (np.float32(np.pi) * sth * (1.0 + bias * cth)) \
                     / (2.0 * jnp.sqrt(1.0 - bias * bias))
-            w0 = bias_w / sel_cell(lambda i: sf[cw_off + i], cr_e)
-            return ((e_px, e_py, e_pz), e_d, cr_e, w0)
+            w0 = bias_w / sel_n(lambda i: sf[cw_off + i], fc_e, NC)
+            return ((e_px, e_py, e_pz), e_d, (cr_e, ct_e, cp_e), w0)
+
+        def locate_tp(px_, py_, pz_):
+            """(theta, phi) cell of a point (geometry.locate_cell). Phi is
+            binned via the _acos polynomial — Mosaic has no arctan2 — which
+            only matters within ~1e-7 of a face."""
+            if NT == 1 and NP == 1:
+                return zi, zi
+            x_ = ax * px_
+            y_ = by * py_
+            z_ = cz * pz_
+            r_ = jnp.sqrt(x_ * x_ + y_ * y_ + z_ * z_)
+            if NT > 1:
+                cth = jnp.clip(z_ / jnp.maximum(r_, 1e-30), -1.0, 1.0)
+                ct_ = zi
+                for j in range(1, NT):
+                    ct_ = ct_ + (cth < sf[tcos_off + j]).astype(i32)
+            else:
+                ct_ = zi
+            if NP > 1:
+                rxy = jnp.sqrt(jnp.maximum(x_ * x_ + y_ * y_, 1e-30))
+                base = _acos(jnp.clip(x_ / rxy, -1.0, 1.0))
+                phi_ = jnp.where(y_ >= 0.0, base,
+                                 np.float32(TWO_PI) - base)
+                cp_ = zi
+                for j in range(1, NP):
+                    cp_ = cp_ + (phi_ >= sf[phif_off + j]).astype(i32)
+                cp_ = jnp.clip(cp_, 0, NP - 1)
+            else:
+                cp_ = zi
+            return ct_, cp_
 
         # ---- the pool loop ----
         if seg_k is None:
@@ -769,6 +974,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             sI, sQ, sU, sV = c["sI"], c["sQ"], c["sU"], c["sV"]
             ctr, pid = c["ctr"], c["pid"]
             cr, fax, fidx = c["cr"], c["fax"], c["fidx"]
+            ct, cp = c["ct"], c["cp"]
             tau_first = c["tau_first"]
             pre_surface = c["pre_surface"] != 0
             n_scat = c["n_scat"]
@@ -791,7 +997,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             em = emit(k0, k1)
             e_px, e_py, e_pz = em[0]
             if spec.thermal:
-                (e_dx, e_dy, e_dz), e_cr, w0 = em[1], em[2], em[3]
+                (e_dx, e_dy, e_dz), (e_cr, e_ct, e_cp), w0 = \
+                    em[1], em[2], em[3]
                 flux_em = jnp.sum(jnp.where(refill, w0, 0.0), dtype=f32)
                 e_fax, e_fidx = 0, 0
                 e_ctr, e_stage = u32(6), STAGE_BIRTH_PEEL
@@ -799,6 +1006,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             else:
                 e_dx, e_dy, e_dz = uhx, uhy, uhz
                 e_cr, w0 = nr - 1, 1.0
+                e_ct, e_cp = locate_tp(e_px, e_py, e_pz)
                 flux_em = jnp.zeros((), f32)
                 e_fax, e_fidx = 1, nr
                 e_ctr, e_stage = u32(2), STAGE_PREWALK
@@ -814,6 +1022,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             sU = jnp.where(refill, 0.0, sU)
             sV = jnp.where(refill, 0.0, sV)
             cr = jnp.where(refill, e_cr, cr)
+            ct = jnp.where(refill, e_ct, ct)
+            cp = jnp.where(refill, e_cp, cp)
             fax = jnp.where(refill, e_fax, fax)
             fidx = jnp.where(refill, e_fidx, fidx)
             ctr = jnp.where(refill, e_ctr, ctr)
@@ -828,8 +1038,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             nb0 = (stage == STAGE_BIRTH_PEEL) if spec.thermal else None
 
             # heal (pos, cell) inconsistencies from f32 tangent-root error
-            # (see geometry.heal_cell); radial-only grid: one searchsorted
-            # equivalent over the nr faces
+            # (see geometry.heal_cell): triggered by a radial mismatch,
+            # relocates all three indices
             rho = jnp.sqrt(a2 * px * px + b2 * py * py + c2 * pz * pz)
             rp0 = sel_cell(lambda i: rf[i], cr)
             rp1 = sel_cell(lambda i: rf[i + 1], cr)
@@ -839,12 +1049,17 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 for i in range(1, nr):
                     cr_loc = cr_loc + (rho >= rf[i]).astype(i32)
                 cr = jnp.where(bad, cr_loc, cr)
+            if NT > 1 or NP > 1:
+                ct_loc, cp_loc = locate_tp(px, py, pz)
+                ct = jnp.where(bad, ct_loc, ct)
+                cp = jnp.where(bad, cp_loc, cp)
 
             d0, d1, d2, d3, d4 = R.uniform_n_kk(k0, k1, ctr, 5, f32)
 
             # ---- LIVE: roulette + reweight + minimum ----
+            fc = flatc(cr, ct, cp)
             killed = live & (d0 < fstop)
-            alb = albedo_at(cr)
+            alb = albedo_at(fc)
             gamma = jnp.where((alb < 1.0) & (alb > 0.0), alb / (1.0 - fstop), 1.0)
             lsurv0 = live & ~killed
             sI = jnp.where(lsurv0, sI * gamma, sI)
@@ -859,11 +1074,11 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             stokes = (sI, sQ, sU, sV)
             (pcI, pcQ, pcU, pcV), pix_ok, pix = peel_prep(px, py, pz,
                                                           dx, dy, dz,
-                                                          cr, stokes)
-            beta, c2b, s2b = sample_beta(cr, stokes, d1, d2)
-            alpha, alpha_deg = sample_alpha(cr, stokes, c2b, s2b, d3)
+                                                          fc, stokes)
+            beta, c2b, s2b = sample_beta(fc, stokes, d1, d2)
+            alpha, alpha_deg = sample_alpha(fc, stokes, c2b, s2b, d3)
             ndx, ndy, ndz = direction_cosine(alpha, beta, dx, dy, dz)
-            ent = matrix_at(cr, alpha_deg)
+            ent = matrix_at(fc, alpha_deg)
             beta_sign = jnp.where(beta < np.float32(np.pi), 1.0, -1.0)
             nI, nQ, nU, nV = polarization_rotation(alpha, stokes, ent, dz, ndz,
                                                    False, c2b, s2b, beta_sign)
@@ -896,7 +1111,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
             # ---- transport march ----
             active_t = live_surv | fw_go
-            m_out = march(px, py, pz, tdx, tdy, tdz, cr, fax, fidx,
+            m_out = march(px, py, pz, tdx, tdy, tdz, cr, ct, cp, fax, fidx,
                           tau, active_t, ctr)
             ctr = m_out["ctr"]
 
@@ -908,8 +1123,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             pdx = jnp.where(nb1, dx, ddx)
             pdy = jnp.where(nb1, dy, ddy)
             pdz = jnp.where(nb1, dz, ddz)
-            peel = tau_walk(px, py, pz, pdx, pdy, pdz, cr, fax, fidx,
-                            peel_active)
+            peel = tau_walk(px, py, pz, pdx, pdy, pdz, cr, ct, cp,
+                            fax, fidx, peel_active)
 
             # scatter-peel splat: in-kernel accumulators (single pixel) or
             # per-round records for the XLA flush (segmented multi-pixel).
@@ -1004,7 +1219,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 px=m_out["px"], py=m_out["py"], pz=m_out["pz"],
                 dx=tdx, dy=tdy, dz=tdz,
                 sI=sI, sQ=sQ, sU=sU, sV=sV,
-                cr=m_out["cr"], fax=m_out["fax"], fidx=m_out["fidx"],
+                cr=m_out["cr"], ct=m_out["ct"], cp=m_out["cp"],
+                fax=m_out["fax"], fidx=m_out["fidx"],
                 tau_first=tau_first, pre_surface=pre_surface.astype(i32),
                 n_scat=n_scat,
                 accErr=accErr, acc031=acc031, acc032=acc032,
@@ -1033,7 +1249,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 px=zf, py=zf, pz=zf,
                 dx=zf + 1.0, dy=zf, dz=zf,
                 sI=zf, sQ=zf, sU=zf, sV=zf,
-                cr=zi, fax=zi, fidx=zi,
+                cr=zi, ct=zi, cp=zi, fax=zi, fidx=zi,
                 tau_first=zf, pre_surface=zi, n_scat=zi,
                 accI=zf, accQ=zf, accU=zf, accV=zf,
                 accI2=zf, accQ2=zf, accU2=zf, accV2=zf,
@@ -1091,7 +1307,7 @@ _FN_CACHE: dict = {}
 # per-lane pool state round-tripped through the segmented kernel:
 # (name, dtype) in kernel _STATE order
 _STATE_DTYPES = (i32, u32, u32, f32, f32, f32, f32, f32, f32,
-                 f32, f32, f32, f32, i32, i32, i32, f32, i32, i32)
+                 f32, f32, f32, f32, i32, i32, i32, i32, i32, f32, i32, i32)
 
 SEG_ROUNDS = 16          # rounds per segment (record carry = 5x this x width)
 SEG_FLUSH = 8            # segments per XLA record flush (~1M records)
@@ -1122,8 +1338,8 @@ def _get_fn(spec: PallasSpec, width: int, interpret: bool,
                 jax.ShapeDtypeStruct((seg_k * RR, 128), f32),
                 jax.ShapeDtypeStruct((seg_k * RR, 128), f32))
             in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 \
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 19)
-            aliases = {6 + i: i for i in range(19)}
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 21)
+            aliases = {6 + i: i for i in range(21)}
         call = pl.pallas_call(
             kern,
             out_shape=out_shape,
@@ -1142,7 +1358,11 @@ def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed,
     """Flatten the traced tables into the kernel's SMEM vectors."""
     g = tables.grid
     nr = spec.nr
+    ncell = nr * spec.ntheta * spec.nphi
     u_hat, e1s, e2s, w_hat = _emit_basis(tables, spec)
+    pf = jnp.arctan2(g.phi_sin, g.phi_cos)
+    pf = jnp.where(pf < 0.0, pf + TWO_PI, pf)
+    phifront = jnp.concatenate([pf, jnp.asarray([TWO_PI], pf.dtype)])
     sf = jnp.concatenate([
         g.rfront.astype(f32),
         tables.opacity.astype(f32),
@@ -1154,16 +1374,21 @@ def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed,
         tables.det_trig.astype(f32),
         u_hat, e1s, e2s, w_hat,
         # thermal-source tables (unused rows for stellar specs)
-        jnp.broadcast_to(tables.emis_cum.astype(f32), (nr,)),
-        jnp.broadcast_to(tables.cell_weight.astype(f32), (nr,)),
+        jnp.broadcast_to(tables.emis_cum.astype(f32), (ncell,)),
+        jnp.broadcast_to(tables.cell_weight.astype(f32), (ncell,)),
         tables.photon_bias.astype(f32).reshape(1),
+        # 3-D grid face tables (trivial for radial-only)
+        g.theta_combo.reshape(-1).astype(f32),     # (ntheta*6,)
+        g.phi_combo.reshape(-1).astype(f32),       # (nphi*4,)
+        g.theta_cos.astype(f32),                   # (ntheta+1,)
+        phifront.astype(f32),                      # (nphi+1,), last = 2*pi
     ])
     si = jnp.stack([jnp.asarray(n_photons, u32), R.key_hi(seed, id_hi),
                     jnp.asarray(id_lo, u32)])
     prefix = tables.alpha_prefix.astype(f32)                 # (nr, 4, 181)
     coarse = prefix[:, :, ::N_FINE].reshape(-1)              # (nr*4*16,)
-    body = prefix[:, :, :N_ANGLE].reshape(nr, 4, N_COARSE, N_FINE)
-    last = prefix[:, :, N_FINE::N_FINE].reshape(nr, 4, N_COARSE, 1)
+    body = prefix[:, :, :N_ANGLE].reshape(ncell, 4, N_COARSE, N_FINE)
+    last = prefix[:, :, N_FINE::N_FINE].reshape(ncell, 4, N_COARSE, 1)
     fine = jnp.concatenate([body, last], axis=-1)            # (nr,4,15,13)
 
     # lane-gather table rows (128 entries each; see _build_kernel lane_gather)
@@ -1171,8 +1396,8 @@ def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed,
         pad = jnp.zeros(nch * 128 - vec.shape[0], f32)
         return jnp.concatenate([vec.astype(f32), pad]).reshape(nch, 128)
 
-    nch_m = -(-(nr * N_ANGLE) // 128)
-    nch_f = -(-(nr * N_COARSE) // 128)
+    nch_m = -(-(ncell * N_ANGLE) // 128)
+    nch_f = -(-(ncell * N_COARSE) // 128)
     act = spec.alpha_active
     scat_cols = tables.scatter_rows[:, jnp.asarray(distinct)].astype(f32)
     gt = [rows_of(scat_cols[:, d], nch_m) for d in range(spec.n_distinct)]
@@ -1181,8 +1406,8 @@ def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed,
     for ai, k in enumerate(act):
         for j in range(N_FINE + 1):
             gt.append(rows_of(fine[:, k, :, j].reshape(-1), nch_f))
-    if nr > 1:                            # coarse cum per (k, j), idx = cell
-        coarse_t = prefix[:, :, ::N_FINE]                    # (nr, 4, 16)
+    if ncell > 1:                         # coarse cum per (k, j), idx = cell
+        coarse_t = prefix[:, :, ::N_FINE]                    # (ncell, 4, 16)
         for ai, k in enumerate(act):
             for j in range(N_COARSE + 1):
                 gt.append(rows_of(coarse_t[:, k, j], 1))
@@ -1240,7 +1465,7 @@ def _init_state(width):
     zi = jnp.zeros((RR, 128), i32)
     zu = jnp.zeros((RR, 128), u32)
     return [zi, zu, zu, zf, zf, zf, zf + 1.0, zf, zf,
-            zf, zf, zf, zf, zi, zi, zi, zf, zi, zi]
+            zf, zf, zf, zf, zi, zi, zi, zi, zi, zf, zi, zi]
 
 
 def _flush_arrays(npix, detector, rbufs):
@@ -1287,10 +1512,10 @@ def _get_driver(spec: PallasSpec, width: int, interpret: bool):
 
         def body(c):
             out = fn(sf, c["si"], coarse, gt, lt_c, lt_r, *c["state"])
-            state = tuple(out[:19])
-            outf = out[19]
-            outi = out[20]
-            recs = out[21:26]
+            state = tuple(out[:21])
+            outf = out[21]
+            outi = out[22]
+            recs = out[23:28]
             slot = c["seg"] % S
             rb = tuple(jax.lax.dynamic_update_slice(b, r[None], (slot, z0, z0))
                        for b, r in zip(c["recbuf"], recs))

@@ -80,10 +80,11 @@ def test_pallas_unsupported_configs():
     atm3 = presets.patchy_3d()
     cfg3 = ArtesConfig()
     cfg3.mode = "spectrum"
+    cfg3.flow_global = True
     det3 = detector_setup(cfg3, float(atm3.rfront[-1]))
     static3 = _kernel_static(cfg3, det3, atm3, False)
     prep3 = build_tables(atm3, cfg3, det3, 0, dtype=jnp.float32)
-    assert not P.supports(prep3.tables, static3)    # 3-D theta/phi grid
+    assert not P.supports(prep3.tables, static3)    # flow tracking
 
     atm4 = presets.rayleigh_single_layer(tau=1.0)
     cfg4 = ArtesConfig()
@@ -178,3 +179,52 @@ def test_pallas_thermal_scattering_flux_exit():
     np.testing.assert_array_equal(
         np.asarray(out["detector"], np.float64)[..., 2],
         np.asarray(ref["detector"], np.float64)[..., 2])
+
+
+def test_pallas_3d_patchy_matches_run_stream():
+    """3-D theta/phi grids (BASELINE #4 geometry): cone/plane/phi-half-plane
+    traversal in the Pallas kernel — counts bit-equal to the XLA kernel."""
+    atm = presets.patchy_3d(tau_clear=0.5, tau_cloud=6.0)
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    assert P.supports(prep.tables, static)
+
+    n, width = 512, 256
+    ref = run_stream(prep.tables, static, n, 9, width)
+    out = P.run_stream_pallas(prep.tables, static, n, 9, width,
+                              interpret=True)
+    det_ref = np.asarray(ref["detector"], np.float64)
+    det_out = np.asarray(out["detector"], np.float64)
+    np.testing.assert_array_equal(det_out[..., 2], det_ref[..., 2])
+    np.testing.assert_allclose(det_out[..., 0], det_ref[..., 0],
+                               rtol=2e-3, atol=1e-3)
+    assert int(out["n_emitted"]) == n
+    assert int(out["n_error"]) == int(ref["n_error"])
+
+
+def test_pallas_3d_phi_zones_imaging():
+    """phi zones + multi-pixel imaging through the segmented kernel."""
+    atm = presets.patchy_3d(tau_clear=0.5, tau_cloud=6.0,
+                            theta_deg=(0.0, 90.0, 180.0),
+                            phi_deg=(0.0, 120.0, 240.0))
+    cfg = ArtesConfig()
+    cfg.mode = "imaging_mono"
+    cfg.npix = 5
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    assert P.supports(prep.tables, static)
+
+    n, width = 512, 256
+    ref = run_stream(prep.tables, static, n, 9, width)
+    out = P.run_stream_pallas(prep.tables, static, n, 9, width,
+                              interpret=True)
+    det_ref = np.asarray(ref["detector"], np.float64)
+    det_out = np.asarray(out["detector"], np.float64)
+    np.testing.assert_array_equal(det_out[..., 2], det_ref[..., 2])
+    nz = np.abs(det_ref[..., 0]) > 0
+    np.testing.assert_allclose(det_out[..., 0][nz], det_ref[..., 0][nz],
+                               rtol=2e-3, atol=1e-3)
