@@ -65,15 +65,18 @@ def setup(mode, npix=25):
 # scalar to the host is the only reliable fence, so every timing below ends
 # with a float() fetch.
 
-def measure(kern, static, prep, n, seed0, w):
+def measure(kern, static, prep, n, seed0, w, reps=2):
     out = kern(prep.tables, static, n, seed0, w)
     _ = float(jnp.sum(out["detector"]))  # warm-up + compile fence
-    t0 = time.perf_counter()
-    out = kern(prep.tables, static, n, seed0 + 1, w)
-    stat = [float(jnp.sum(out["detector"])), int(out["n_error"]),
-            int(out["n_alive_at_cap"])]  # host fetch = completion fence
-    dt = time.perf_counter() - t0
-    return n / dt, out, stat
+    best = None
+    for r in range(reps):     # best-of-reps: the tunneled device's clock
+        t0 = time.perf_counter()  # varies ~20% run-to-run
+        out = kern(prep.tables, static, n, seed0 + 1, w)
+        stat = [float(jnp.sum(out["detector"])), int(out["n_error"]),
+                int(out["n_alive_at_cap"])]  # host fetch = completion fence
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return n / best, out, stat
 
 static_s, prep_s = setup("spectrum")
 use_pallas = pallas_stream.supports(prep_s.tables, static_s) and platform != "cpu"
