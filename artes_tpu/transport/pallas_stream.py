@@ -29,7 +29,10 @@ Scope (everything else falls back to ``run_stream``; see :func:`supports`):
   multi-pixel runs use the SEGMENTED form — state rides through aliased
   refs, scatter-peel records stream out, and one fused device program
   (lax.while_loop over segments) flushes ~1M records per XLA one-hot einsum,
-* absorbing surface (``surface_albedo == 0``) and float32 tables.
+* Lambert surfaces (any ``surface_albedo``): the march stops at a
+  reflection and the next round runs the surface NEE + resumes the march
+  with the banked tau budget on the same draw-site schedule,
+* float32 tables. Flow tracking and f64 fall back to the XLA kernel.
 
 Layout: the lane pool is structure-of-arrays — every per-photon variable is
 its own ``(width/128, 128)`` tile-aligned array, so each physics formula is a
@@ -71,6 +74,7 @@ STAGE_BIRTH_PEEL = 1
 STAGE_PREWALK = 2
 STAGE_FIRST_WALK = 3
 STAGE_LIVE = 4
+STAGE_SURF_PEEL = 5   # just Lambert-reflected: surface NEE + resume march
 
 # Continuous azimuth-CDF basis at the 17 coarse edges (sampling.py)
 _BETA_EDGES = np.linspace(0.0, np.pi, 17)
@@ -107,6 +111,7 @@ class PallasSpec:
     emission: int = 1        # birth peel, flux tallies; 1 iso / 2 biased
     ntheta: int = 1          # 3-D grids: theta cones/z=0 plane + phi
     nphi: int = 1            # half-planes (ARTES.f90:3030-3350)
+    surface: bool = False    # Lambert surface (surface_albedo > 0)
 
 
 def supports(tables, static) -> bool:
@@ -123,8 +128,7 @@ def supports(tables, static) -> bool:
             and 1 <= static.nx * static.ny <= 2048
             and 1 <= g.nr <= 32 and g.ntheta <= 8 and g.nphi <= 8
             and ncell <= 32
-            and tables.opacity.dtype == jnp.float32
-            and sa == 0.0)
+            and tables.opacity.dtype == jnp.float32)
 
 
 def make_spec(tables, static) -> PallasSpec:
@@ -167,6 +171,7 @@ def make_spec(tables, static) -> PallasSpec:
         thermal=static.photon_source == 2,
         emission=static.photon_emission,
         ntheta=g.ntheta, nphi=g.nphi,
+        surface=float(tables.surface_albedo) > 0.0,
     ), distinct
 
 
@@ -297,6 +302,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         pc_off = off + NT * 6      # phi_combo (NP, 4) flat
         tcos_off = pc_off + NP * 4     # theta_cos (NT+1)
         phif_off = tcos_off + NT + 1   # phifront (NP+1), last = 2*pi
+        surf_alb = sf[phif_off + NP + 1]
 
         dshape = (RR, C)
         zf = jnp.zeros(dshape, f32)
@@ -545,7 +551,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
         # ---- transport march (kernel.py _march, transport half) ----
         def march(px, py, pz, dx, dy, dz, cr, ct, cp, fax, fidx, tau,
-                  active, ctr):
+                  active, ctr, k0=None, k1=None):
             def cond(c):
                 return jnp.any(c["m"] != 0) & (c["it"] < spec.max_crossings)
 
@@ -561,15 +567,51 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 step = jnp.where(interact, s_int, d)
                 hit_surface = ~interact & (out["next_ax"] == 1) \
                     & (out["next_idx"] == cd)
-                absorbed = m & hit_surface          # surface_albedo == 0
                 crossing = m & ~interact
                 err = (c["err"] != 0) | (m & out["error"])
-                still = crossing & ~out["grid_exit"] & ~absorbed & ~err
+                if spec.surface:
+                    # Lambert surface (ARTES.f90:755-774, :1369-1402): the
+                    # crossing's 3 draw sites decide absorb-vs-reflect and
+                    # the cosine-weighted direction; a reflected lane STOPS
+                    # here (stage SURF_PEEL next round: surface NEE + march
+                    # resumption with the remaining tau budget)
+                    u_s, u_l1, u_l2 = R.uniform_n_kk(k0, k1, c["ctr"], 3, f32)
+                    absorbed = m & hit_surface & (u_s > surf_alb)
+                    reflected = m & hit_surface & ~absorbed & ~out["error"]
+                    npx_ = jnp.where(m, c["px"] + step * dx, c["px"])
+                    npy_ = jnp.where(m, c["py"] + step * dy, c["py"])
+                    npz_ = jnp.where(m, c["pz"] + step * dz, c["pz"])
+                    nrx = npx_ * a2
+                    nry = npy_ * b2
+                    nrz = npz_ * c2
+                    inv_nn = 1.0 / jnp.maximum(
+                        jnp.sqrt(nrx * nrx + nry * nry + nrz * nrz), 1e-30)
+                    lamx, lamy, lamz = direction_cosine(
+                        jnp.sqrt(u_l1), TWO_PI * u_l2,
+                        nrx * inv_nn, nry * inv_nn, nrz * inv_nn)
+                    refl_acc = c["refl"] | b2i(reflected)
+                    rdx = jnp.where(reflected, lamx, c["rdx"])
+                    rdy = jnp.where(reflected, lamy, c["rdy"])
+                    rdz = jnp.where(reflected, lamz, c["rdz"])
+                    still = crossing & ~out["grid_exit"] & ~absorbed & ~err \
+                        & ~reflected
+                    # reflected photon re-enters the cell above the surface
+                    # (ARTES.f90:770): cr_out is cd-1 after the inward
+                    # crossing, +1 puts it back in cell cd
+                    cr_next = jnp.where(reflected, out["cr_out"] + 1,
+                                        out["cr_out"])
+                else:
+                    absorbed = m & hit_surface          # surface_albedo == 0
+                    reflected = jnp.zeros(dshape, jnp.bool_)
+                    refl_acc, rdx, rdy, rdz = c["refl"], c["rdx"], c["rdy"], c["rdz"]
+                    still = crossing & ~out["grid_exit"] & ~absorbed & ~err
+                    cr_next = out["cr_out"]
                 return dict(
+                    refl=refl_acc, rdx=rdx, rdy=rdy, rdz=rdz,
                     px=jnp.where(m, c["px"] + step * dx, c["px"]),
                     py=jnp.where(m, c["py"] + step * dy, c["py"]),
                     pz=jnp.where(m, c["pz"] + step * dz, c["pz"]),
-                    cr=jnp.where(crossing, out["cr_out"], c["cr"]),
+                    cr=jnp.where(crossing, cr_next, c["cr"]),
                     ct=jnp.where(crossing, out["ct_out"], c["ct"]),
                     cp=jnp.where(crossing, out["cp_out"], c["cp"]),
                     fax=jnp.where(crossing, out["next_ax"],
@@ -591,12 +633,16 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             init = dict(px=px, py=py, pz=pz, cr=cr, ct=ct, cp=cp,
                         fax=fax, fidx=fidx,
                         tau_run=zf, inter=zi, err=zi, e031=zi, e034=zi,
-                        exb=zi, ctr=ctr, m=b2i(active), it=jnp.asarray(0, i32))
+                        exb=zi, refl=zi, rdx=zf, rdy=zf, rdz=zf,
+                        ctr=ctr, m=b2i(active), it=jnp.asarray(0, i32))
             o = jax.lax.while_loop(cond, body, init)
             marching = o["m"] != 0
             return dict(px=o["px"], py=o["py"], pz=o["pz"],
                         cr=o["cr"], ct=o["ct"], cp=o["cp"],
                         fax=o["fax"], fidx=o["fidx"], ctr=o["ctr"],
+                        tau_run=o["tau_run"],
+                        refl=o["refl"] != 0, rdx=o["rdx"], rdy=o["rdy"],
+                        rdz=o["rdz"],
                         inter=o["inter"] != 0,
                         err=(o["err"] != 0) | marching,
                         e031=o["e031"] != 0, e034=o["e034"] != 0,
@@ -1036,6 +1082,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             fw = stage == STAGE_FIRST_WALK
             nb1 = stage == STAGE_PREWALK
             nb0 = (stage == STAGE_BIRTH_PEEL) if spec.thermal else None
+            surf = (stage == STAGE_SURF_PEEL) if spec.surface else None
 
             # heal (pos, cell) inconsistencies from f32 tangent-root error
             # (see geometry.heal_cell): triggered by a radial mismatch,
@@ -1109,10 +1156,14 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             ctr = ctr + jnp.where(live, u32(5), u32(0)) \
                 + jnp.where(fw, u32(1), u32(0))
 
-            # ---- transport march ----
+            # ---- transport march (SURF lanes resume with their remaining
+            # tau budget, consuming no new draw sites) ----
             active_t = live_surv | fw_go
+            if spec.surface:
+                tau = jnp.where(surf, tau_first, tau)
+                active_t = active_t | surf
             m_out = march(px, py, pz, tdx, tdy, tdz, cr, ct, cp, fax, fidx,
-                          tau, active_t, ctr)
+                          tau, active_t, ctr, k0, k1)
             ctr = m_out["ctr"]
 
             # ---- peel/prewalk walk (scatter peel along det dir; prewalk
@@ -1120,6 +1171,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             peel_active = live_surv | nb1
             if spec.thermal:
                 peel_active = peel_active | nb0
+            if spec.surface:
+                peel_active = peel_active | surf
             pdx = jnp.where(nb1, dx, ddx)
             pdy = jnp.where(nb1, dy, ddy)
             pdz = jnp.where(nb1, dz, ddz)
@@ -1139,10 +1192,24 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                     & ~peel["err"] & pix_ok
                 w_b = w_peel * np.float32(1.0 / (4.0 * np.pi))
                 bI = w_b * sI
+            if spec.surface:
+                # Lambert NEE (ARTES.f90:4600-4708): e^-tau cos(theta)/pi,
+                # visible when the outward normal faces the detector
+                snx = px * a2
+                sny = py * b2
+                snz = pz * c2
+                inv_sn = 1.0 / jnp.maximum(
+                    jnp.sqrt(snx * snx + sny * sny + snz * snz), 1e-30)
+                cosang = (snx * ddx + sny * ddy + snz * ddz) * inv_sn
+                ok_s = surf & (cosang > 0.0) & peel["exited"] \
+                    & (peel["tau"] < 50.0) & ~peel["err"] & pix_ok
+                sIc = w_peel * cosang * np.float32(1.0 / np.pi) * sI
             if seg_k is None:
                 vI = jnp.where(ok, pcI * w_peel, 0.0)
                 if spec.thermal:
                     vI = vI + jnp.where(ok_b, bI, 0.0)
+                if spec.surface:
+                    vI = vI + jnp.where(ok_s, sIc, 0.0)
                 accI = c["accI"] + vI
                 accQ = c["accQ"] + jnp.where(ok, pcQ * w_peel, 0.0)
                 accU = c["accU"] + jnp.where(ok, pcU * w_peel, 0.0)
@@ -1150,11 +1217,14 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 accI2 = c["accI2"] + jnp.where(ok, (pcI * w_peel) ** 2, 0.0)
                 if spec.thermal:
                     accI2 = accI2 + jnp.where(ok_b, bI * bI, 0.0)
+                if spec.surface:
+                    accI2 = accI2 + jnp.where(ok_s, sIc * sIc, 0.0)
                 accQ2 = c["accQ2"] + jnp.where(ok, (pcQ * w_peel) ** 2, 0.0)
                 accU2 = c["accU2"] + jnp.where(ok, (pcU * w_peel) ** 2, 0.0)
                 accV2 = c["accV2"] + jnp.where(ok, (pcV * w_peel) ** 2, 0.0)
                 accN = c["accN"] + ok.astype(i32)
-                accNI = c["accNI"] + (ok_b.astype(i32) if spec.thermal else 0)
+                accNI = c["accNI"] + (ok_b.astype(i32) if spec.thermal else 0) \
+                    + (ok_s.astype(i32) if spec.surface else 0)
             else:
                 # ref stores at a dynamic row offset (Mosaic has no value
                 # dynamic_update_slice); refs were -1/zero-filled up front,
@@ -1166,6 +1236,9 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 if spec.thermal:
                     rpix_v = jnp.where(ok_b, pix + npx, rpix_v)
                     r_I = r_I + jnp.where(ok_b, bI, 0.0)
+                if spec.surface:
+                    rpix_v = jnp.where(ok_s, pix + npx, rpix_v)
+                    r_I = r_I + jnp.where(ok_s, sIc, 0.0)
                 rec_refs[0][pl.ds(slot, RR), :] = rpix_v
                 rec_refs[1][pl.ds(slot, RR), :] = r_I
                 rec_refs[2][pl.ds(slot, RR), :] = jnp.where(ok, pcQ * w_peel, 0.0)
@@ -1210,6 +1283,19 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             to_live = active_t & m_out["inter"] & ~m_out["err"]
             stage = jnp.where(active_t,
                               jnp.where(to_live, STAGE_LIVE, STAGE_DEAD), stage)
+            if spec.surface:
+                refl_new = m_out["refl"] & active_t & ~m_out["err"]
+                stage = jnp.where(refl_new, STAGE_SURF_PEEL, stage)
+                # depolarize + adopt the Lambert direction; bank the unused
+                # tau budget for the resumed march (ARTES.f90:764-772)
+                sQ = jnp.where(refl_new, 0.0, sQ)
+                sU = jnp.where(refl_new, 0.0, sU)
+                sV = jnp.where(refl_new, 0.0, sV)
+                tdx = jnp.where(refl_new, m_out["rdx"], tdx)
+                tdy = jnp.where(refl_new, m_out["rdy"], tdy)
+                tdz = jnp.where(refl_new, m_out["rdz"], tdz)
+                tau_first = jnp.where(refl_new, tau - m_out["tau_run"],
+                                      tau_first)
             capped = (stage == STAGE_LIVE) & (n_scat >= spec.max_scatter)
             accCap = c["accCap"] + capped.astype(i32)
             stage = jnp.where(capped, STAGE_DEAD, stage)
@@ -1382,6 +1468,7 @@ def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed,
         g.phi_combo.reshape(-1).astype(f32),       # (nphi*4,)
         g.theta_cos.astype(f32),                   # (ntheta+1,)
         phifront.astype(f32),                      # (nphi+1,), last = 2*pi
+        tables.surface_albedo.astype(f32).reshape(1),
     ])
     si = jnp.stack([jnp.asarray(n_photons, u32), R.key_hi(seed, id_hi),
                     jnp.asarray(id_lo, u32)])

@@ -228,3 +228,30 @@ def test_pallas_3d_phi_zones_imaging():
     nz = np.abs(det_ref[..., 0]) > 0
     np.testing.assert_allclose(det_out[..., 0][nz], det_ref[..., 0][nz],
                                rtol=2e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("sa,tau", [(1.0, 0.3), (0.5, 1.0)])
+def test_pallas_lambert_surface(sa, tau):
+    """Lambert surface (ARTES.f90:755-774, :1369-1402, :4600-4708): the
+    march stops at a reflection, the next round runs the surface NEE and
+    resumes the march with the banked tau budget — same draw sites as the
+    XLA kernel's in-march branch, so counts stay bit-equal."""
+    atm = presets.rayleigh_single_layer(tau=tau, nr=2)
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    cfg.surface_albedo = sa
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    assert P.supports(prep.tables, static)
+
+    n, width = 600, 256
+    ref = run_stream(prep.tables, static, n, 7, width)
+    out = P.run_stream_pallas(prep.tables, static, n, 7, width,
+                              interpret=True)
+    det_ref = np.asarray(ref["detector"], np.float64)
+    det_out = np.asarray(out["detector"], np.float64)
+    np.testing.assert_array_equal(det_out[..., 2], det_ref[..., 2])
+    np.testing.assert_allclose(det_out[..., 0], det_ref[..., 0],
+                               rtol=2e-3, atol=1e-6)
+    assert int(out["n_error"]) == int(ref["n_error"])
