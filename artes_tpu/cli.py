@@ -59,6 +59,10 @@ def run_main(argv=None):
     p.add_argument("--progress", action="store_true",
                    help="per-chunk progress ticker on stderr (always on when "
                         "stderr is a tty; the reference's 20..100%% lines)")
+    p.add_argument("--debug-stokes", action="store_true",
+                   help="in-kernel Stokes anomaly check I^2 >= Q^2+U^2+V^2 "
+                        "(the reference's error 050, ARTES.f90:830-835); "
+                        "anomalous photons are abandoned and tallied")
     args = p.parse_args(argv)
 
     if args.f64:
@@ -77,6 +81,7 @@ def run_main(argv=None):
     atm_dir = os.path.join(args.root, "input", args.atmosphere)
     cfg = load_config(os.path.join(atm_dir, "artes.in"), overrides=args.keyword)
     atm = load_artifact(os.path.join(atm_dir, "atmosphere.fits"))
+    cfg.debug_stokes = args.debug_stokes
     packages = int(args.photons)
 
     # output tree + input snapshot: the FULL input tree, incl. opacity FITS
@@ -110,11 +115,16 @@ def run_main(argv=None):
     report.stage1(cfg, atm, det)
     out.write_plot_dat(dirs, cfg, atm, det)
     n_error = 0
+    n_capped = 0
+    n_anomaly = 0
     error_codes = np.zeros(4, np.int64)
     error_records = []
 
     def _rec(res):
-        if len(error_records) < 8 and getattr(res, "error_records", None) is not None:
+        nonlocal n_capped, n_anomaly
+        n_capped += res.n_alive_at_cap
+        n_anomaly += getattr(res, "n_stokes_anomaly", 0)
+        if len(error_records) < 16 and getattr(res, "error_records", None) is not None:
             error_records.extend(list(res.error_records))
 
     if cfg.mode == "spectrum":
@@ -207,7 +217,10 @@ def run_main(argv=None):
             ("031/geometry no-candidate", "032/runaway traversal",
              "034/degenerate surface bounce", "05x/peel walk"), error_codes)
             if cnt]
-        out.write_error_log(dirs, entries, error_records[:8])
+        if n_anomaly:
+            entries.append(("050/stokes anomaly", n_anomaly))
+        out.write_error_log(dirs, entries, error_records[:16])
+    report.truncation(n_capped, packages, cfg.max_scatter)
     report.stage4(n_error)
     out.send_completion_email(cfg, args.output)
     return 0

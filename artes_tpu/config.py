@@ -36,6 +36,11 @@ class ArtesConfig:
     photon_scattering: bool = True
     photon_emission: str = "isotropic"     # "isotropic" | "biased"
     photon_bias: float = 0.8
+    # scattering-order cap (extension key: the reference runs photons to
+    # roulette death, ARTES.f90:786-951; the batched kernels bound the pool
+    # loop — TRUNCATION.md quantifies the bias, and capped photons are
+    # surfaced as n_alive_at_cap in the run report)
+    max_scatter: int = 256
     # star
     t_star: float = 5800.0
     r_star: float = R_SUN                  # [m]
@@ -56,6 +61,9 @@ class ArtesConfig:
     # output
     flow_global: bool = False
     flow_theta: bool = False
+    # debug (CLI --debug-stokes, not an artes.in key): in-kernel Stokes
+    # anomaly check, the reference's error 050 (ARTES.f90:830-835)
+    debug_stokes: bool = False
 
     def validate(self) -> "ArtesConfig":
         if self.photon_source not in ("star", "planet"):
@@ -66,6 +74,8 @@ class ArtesConfig:
             raise ConfigError("photon:fstop must be in [0,1]")
         if not (0.0 <= self.photon_bias < 1.0):
             raise ConfigError("photon:bias must be in [0,1)")
+        if self.max_scatter < 1:
+            raise ConfigError("photon:max_scatter must be >= 1")
         return self
 
 
@@ -105,6 +115,8 @@ def apply_key(cfg: ArtesConfig, key: str, value: str) -> None:
         cfg.photon_emission = value
     elif key == "photon:bias":
         cfg.photon_bias = fval()
+    elif key == "photon:max_scatter":
+        cfg.max_scatter = int(value)
     elif key == "star:temperature":
         cfg.t_star = fval()
     elif key == "star:radius":
@@ -252,6 +264,7 @@ def snapshot(cfg: ArtesConfig) -> str:
         f"photon:scattering={inv[cfg.photon_scattering]}",
         f"photon:emission={cfg.photon_emission}",
         f"photon:bias={cfg.photon_bias:g}",
+        f"photon:max_scatter={cfg.max_scatter}",
         f"star:temperature={cfg.t_star:g}",
         f"star:radius={cfg.r_star / R_SUN:g}",
         f"star:direction={inv[cfg.stellar_direction]}",

@@ -10,6 +10,7 @@ match the reference so downstream plotting tools keep working.
 
 from __future__ import annotations
 
+import math
 import os
 import time
 
@@ -241,6 +242,20 @@ class RunReport:
         self.emit(f"Direction of polarization [deg]: "
                   f"{0.5 * np.arctan2(p[4], p[2]) * 180 / PI:.2e}")
 
+    def truncation(self, n_capped: int, packages: int, max_scatter: int):
+        """Surface the scattering-order cap (photon:max_scatter): the
+        reference runs photons to roulette death (ARTES.f90:786-951), the
+        pool kernels truncate at max_scatter; warn when the capped fraction
+        exceeds the MC error scale 1/sqrt(N) (bias bound: TRUNCATION.md)."""
+        if n_capped <= 0 or packages <= 0:
+            return
+        frac = n_capped / packages
+        self.emit(f"Photons at scattering cap ({max_scatter}): "
+                  f"{n_capped} ({100.0 * frac:.2e} %)")
+        if frac > 1.0 / math.sqrt(packages):
+            self.emit("WARNING: truncated fraction exceeds the MC error "
+                      "scale — raise photon:max_scatter")
+
     def stage4(self, n_error: int = 0):
         dt = time.time() - self.t_start
         h, rem = divmod(int(dt), 3600)
@@ -259,7 +274,7 @@ def _column_depths(atm, wl_index, kind, cell_from):
 
 
 _ERR_SITES = {0: "scatter march", 1: "first walk", 2: "prewalk",
-              3: "detector peel"}
+              3: "detector peel", 4: "stokes anomaly"}
 
 
 def write_error_log(dirs: OutputDirs, entries, records=None):

@@ -17,7 +17,9 @@ import numpy as np
 from artes_tpu.config import ArtesConfig, DetectorSetup, detector_setup
 from artes_tpu.constants import PI, planck_lambda
 from artes_tpu.transport import pallas_stream
-from artes_tpu.transport.kernel import KernelStatic, run_batch, run_stream
+from artes_tpu.transport.kernel import (ERR_RECORD_K, KernelStatic,
+                                        order_error_records, run_batch,
+                                        run_stream)
 from artes_tpu.transport.tables import PreparedWavelength, build_tables
 
 # Pallas pool width: VMEM-resident lane count. Measured on TPU v5e (flagship
@@ -73,6 +75,9 @@ class WavelengthResult:
     n_alive_at_cap: int
     cell_depth: int
     prep: PreparedWavelength
+    # error-050 tally from the debug Stokes-anomaly check (KernelStatic
+    # .debug_stokes; ARTES.f90:830-835)
+    n_stokes_anomaly: int = 0
     # per-code tallies [031 geometry, 032 runaway, 034 degenerate bounce,
     # peel-walk] mirroring the reference's numbered error log
     error_codes: np.ndarray = dataclasses.field(
@@ -94,9 +99,10 @@ def _kernel_static(cfg: ArtesConfig, det: DetectorSetup, atm, crescent: bool) ->
         stellar_direction=cfg.stellar_direction,
         crescent=crescent,
         thermal_weight=cfg.thermal_weight,
-        max_scatter=256,
+        max_scatter=cfg.max_scatter,
         max_crossings=geom,
         track_flow=cfg.flow_global or cfg.flow_theta,
+        debug_stokes=getattr(cfg, "debug_stokes", False),
     )
 
 
@@ -124,14 +130,18 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
     flux_exit = 0.0
     n_error = 0
     n_alive = 0
+    n_anom = 0
     error_codes = np.zeros(4, np.int64)
     error_records = []
 
     def _collect(out):
-        if "error_records" in out and len(error_records) < 8:
+        nonlocal n_anom
+        n_anom += int(out.get("n_stokes_anomaly", 0))
+        if "error_records" in out and len(error_records) < 2 * ERR_RECORD_K:
             k = int(out["n_error_records"])
             if k:
-                error_records.append(np.asarray(out["error_records"])[:k])
+                error_records.append(
+                    order_error_records(out["error_records"], k))
     if dispatch is None:
         # default: the regeneration kernel — a fixed-width lane pool with
         # in-loop refill (one device dispatch per <=2^30-photon chunk, ~100 %
@@ -227,10 +237,11 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
         flux_emitted=flux_emitted, flux_exit=flux_exit,
         n_error=n_error, n_alive_at_cap=n_alive,
         cell_depth=prep.cell_depth, prep=prep, error_codes=error_codes,
+        n_stokes_anomaly=n_anom,
         flow_global=flow_g.reshape(shape3 + (3,)) if static.track_flow else None,
         flow_theta=flow_t.reshape(shape3 + (4,)) if static.track_flow else None,
-        error_records=(np.concatenate(error_records)[:8] if error_records
-                       else np.zeros((0, 16))),
+        error_records=(np.concatenate(error_records)[:2 * ERR_RECORD_K]
+                       if error_records else np.zeros((0, 16))),
     )
 
 

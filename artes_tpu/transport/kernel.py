@@ -60,6 +60,11 @@ class KernelStatic:
     # The analogue of the reference's double-precision detector_thread
     # reduction (ARTES.f90:959-975).
     det_f64: bool = False
+    # in-kernel Stokes-anomaly check I^2 >= Q^2+U^2+V^2 after every scatter
+    # (the reference's error 050, ARTES.f90:830-835): anomalous photons are
+    # abandoned and tallied as n_stokes_anomaly. Debug mode — off by default,
+    # the XLA stream kernel only (the Pallas kernel falls back).
+    debug_stokes: bool = False
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -1106,6 +1111,19 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         lsv = live_surv[:, None]
         stokes = jnp.where(lsv, stokes_new, stokes)
         dirn_t = jnp.where(lsv, dir_new, dirn)
+        if static.debug_stokes:
+            # error 050 (ARTES.f90:830-835): I^2 < Q^2+U^2+V^2 after the
+            # Mueller update is an unphysical polarization state — abandon
+            # the photon (the reference cycles it) and tally separately
+            anom = live_surv & (stokes[:, 0] ** 2 * (1.0 + 1.0e-6)
+                                < jnp.sum(stokes[:, 1:] ** 2, axis=-1))
+            n_anom = c["n_stokes_anomaly"] + jnp.sum(anom, dtype=jnp.int32)
+            n_error = n_error + jnp.sum(anom, dtype=jnp.int32)
+            live_surv = live_surv & ~anom
+            stage = jnp.where(anom, STAGE_DEAD, stage)
+        else:
+            anom = None
+            n_anom = c["n_stokes_anomaly"]
         n_scat = n_scat + live_surv.astype(jnp.int32)
 
         # ---- optical depth: sampled (LIVE) or forced-first (FIRST_WALK,
@@ -1194,9 +1212,14 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
             jnp.sum(m_out["e034"] & active_t, dtype=jnp.int32),
             jnp.sum(peel["error"] & live_surv, dtype=jnp.int32)])
 
-        # ---- first-K error forensics (ARTES.f90:3397-3416) ----
+        # ---- error forensics, first-K + last-K ring (ARTES.f90:3397-3416;
+        # the reference appends EVERY failure up to a 100 MB log — here the
+        # first K records plus a ring of the K most recent, so late-run
+        # failures of a long job are captured too) ----
         peel_err = peel["error"] & live_surv
         any_err = terr | nb1_err | peel_err
+        if static.debug_stokes:
+            any_err = any_err | anom
 
         def capture(ops):
             rec, n_rec = ops
@@ -1208,6 +1231,11 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
                              jnp.where(nb1_err[lane], 31.0, 50.0))
             site = jnp.where(terr[lane], jnp.where(fw[lane], 1.0, 0.0),
                              jnp.where(nb1_err[lane], 2.0, 3.0))
+            if static.debug_stokes:
+                code = jnp.where(anom[lane] & ~terr[lane] & ~nb1_err[lane]
+                                 & ~peel_err[lane], 50.0, code)
+                site = jnp.where(anom[lane] & ~terr[lane] & ~nb1_err[lane]
+                                 & ~peel_err[lane], 4.0, site)
             fdt = rec.dtype
             # transport errors dump the post-march state (where the walk
             # failed); peel/prewalk errors dump the walk's INPUT state (the
@@ -1233,12 +1261,14 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
                 sel(m_out["face"][:, 1], face[:, 1]),
                 m_out["stokes"][lane, 0].astype(fdt),
                 n_scat[lane].astype(fdt), site])
+            # rows [0, K): first K events; rows [K, 2K): ring of the latest
+            slot = jnp.where(n_rec < erK, n_rec, erK + n_rec % erK)
             rec = jax.lax.dynamic_update_slice(
-                rec, row[None], (n_rec, jnp.zeros((), n_rec.dtype)))
+                rec, row[None], (slot, jnp.zeros((), n_rec.dtype)))
             return rec, n_rec + 1
 
         err_rec, n_err_rec = jax.lax.cond(
-            jnp.any(any_err) & (c["n_err_rec"] < erK),
+            jnp.any(any_err),
             capture, lambda ops: ops, (c["err_rec"], c["n_err_rec"]))
         if thermal:
             flux_exit = flux_exit + jnp.sum(
@@ -1263,6 +1293,7 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
             "flux_emitted": flux_emitted, "flux_exit": flux_exit,
             "n_error": n_error, "error_codes": error_codes,
             "n_alive_at_cap": n_cap,
+            "n_stokes_anomaly": n_anom,
             "round": c["round"] + u32(1),
         }
         if buffer_k > 1:
@@ -1299,8 +1330,9 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
     if buffer_k > 1:
         init["rec_pix"] = jnp.full((buffer_k, W), -1, jnp.int32)
         init["rec_stokes"] = jnp.zeros((buffer_k, W, 4), dtype)
-    init["err_rec"] = jnp.zeros((ERR_RECORD_K, ERR_RECORD_W), dtype)
+    init["err_rec"] = jnp.zeros((2 * ERR_RECORD_K, ERR_RECORD_W), dtype)
     init["n_err_rec"] = jnp.zeros((), jnp.int32)
+    init["n_stokes_anomaly"] = jnp.zeros((), jnp.int32)
     out = jax.lax.while_loop(cond, body, init)
     if buffer_k > 1:
         # bin whatever the last partial buffer cycle left behind
@@ -1317,9 +1349,23 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         "n_error": out["n_error"],
         "error_codes": out["error_codes"],
         "n_alive_at_cap": out["n_alive_at_cap"],
+        "n_stokes_anomaly": out["n_stokes_anomaly"],
         "n_emitted": out["n_emitted"],
         "n_rounds": out["round"],
     }
+
+
+def order_error_records(rec, n, k=ERR_RECORD_K):
+    """Chronological view of the first-K + last-K ring record buffer
+    (see _stream_impl forensics): rows [0,K) hold the first K events, rows
+    [K,2K) a ring of the most recent ones."""
+    rec = np.asarray(rec)
+    n = int(n)
+    if n <= k:
+        return rec[:n]
+    m = min(k, n - k)
+    ring = [rec[k + (i % k)] for i in range(n - m, n)]
+    return np.concatenate([rec[:k], np.stack(ring)], axis=0)
 
 
 @partial(jax.jit, static_argnums=(1, 4))

@@ -13,36 +13,50 @@ state lives in VMEM, eliminating the HBM round-trips. Measured on TPU v5e
 Semantics: bit-identical photon streams to ``run_stream`` (same hand-rolled
 threefry2x32, same per-lane event-history draw-site schedule, same geometry
 and Mueller algebra re-derived in structure-of-arrays form); detector splat
-counts are bit-equal, moments differ only by f32 evaluation order.
-``tests/test_pallas_stream.py`` checks this against the XLA kernel in
-interpreter mode.
+counts are bit-equal, moments differ only by f32 evaluation order (3-D
+cone/plane quadratics amplify FMA-contraction differences on near-tangent
+peel chords, so 3-D moments carry ~1e-2-relative f32 geometry noise — still
+far below MC error). One known count-level caveat: phi cell binning uses an
+``_acos`` polynomial (Mosaic has no arctan2) while the XLA kernel uses
+arctan2, so a photon healed/located within ~1e-7 of a phi face can bin to
+the neighbouring cell and diverge — never observed in the parity suites,
+but not excluded by construction. ``tests/test_pallas_stream.py`` checks
+all of this against the XLA kernel in interpreter mode.
 
 Scope (everything else falls back to ``run_stream``; see :func:`supports`):
 
 * stellar (incl. off-axis/crescent) and thermal (isotropic or Gordon-biased
   emission, birth peel, flux bookkeeping) sources, scattering on, no flow
   tracking,
-* full 3-D r/theta/phi grids up to 32 cells (theta cones with nappe
-  rejection, the z=0 plane face, phi half-planes with wraparound — the
-  geometry of BASELINE #4's patchy zones; ARTES.f90:2800-3470), oblateness,
-* detectors up to 2048 pixels: single-pixel runs accumulate in-kernel;
+* full 3-D r/theta/phi grids up to nr<=128, ntheta/nphi<=64, 512 cells
+  (theta cones with nappe rejection, the z=0 plane face, phi half-planes
+  with wraparound — the geometry of BASELINE #4's patchy zones;
+  ARTES.f90:2800-3470), oblateness, up to 8 distinct scattering MIXTURES
+  over those cells (see :class:`MixTables` — per-cell matrix content
+  dedupes to a handful of mixtures in every realistic atmosphere, so
+  matrix/CDF gathers cost O(n_mix), not O(ncell)),
+* detectors up to 16384 pixels: single-pixel runs accumulate in-kernel;
   multi-pixel runs use the SEGMENTED form — state rides through aliased
   refs, scatter-peel records stream out, and one fused device program
   (lax.while_loop over segments) flushes ~1M records per XLA one-hot einsum,
 * Lambert surfaces (any ``surface_albedo``): the march stops at a
   reflection and the next round runs the surface NEE + resumes the march
   with the banked tau budget on the same draw-site schedule,
-* float32 tables. Flow tracking and f64 fall back to the XLA kernel.
+* float32 tables. Flow tracking, f64 and the debug Stokes-anomaly check
+  fall back to the XLA kernel.
 
 Layout: the lane pool is structure-of-arrays — every per-photon variable is
 its own ``(width/128, 128)`` tile-aligned array, so each physics formula is a
-VPU op with no minor-dimension padding. Non-cell scalars live in SMEM;
-per-cell/per-bin tables (scattering-matrix columns, alpha-CDF edges) are
-row tables in VMEM read by 128-lane dynamic gathers (``take_along_axis``,
-the one vector-subscript form Mosaic lowers natively) — O(1) per lookup
-where compare-select chains cost O(n_bins). The host wrapper deduplicates
-scattering-matrix columns (equal/negated/zero, e.g. the 6 distinct entries
-of a Rayleigh matrix) so only distinct columns are gathered.
+VPU op with no minor-dimension padding. Small scalars live in SMEM; every
+per-mixture/per-cell/per-face table (scattering-matrix columns, alpha-CDF
+edges, opacity, albedo, emissivity CDF, face radii/trig) is a row table in
+VMEM read by 128-lane dynamic gathers (``take_along_axis``, the one
+vector-subscript form Mosaic lowers natively) — O(1) per lookup where
+compare-select chains cost O(n). Monotone searches (emissivity CDF, cell
+healing, locate_cell) run as branchless binary searches over those tables.
+The host wrapper deduplicates scattering-matrix columns (equal/negated/zero,
+e.g. the 6 distinct entries of a Rayleigh matrix) so only distinct columns
+are gathered.
 """
 
 from __future__ import annotations
@@ -112,28 +126,58 @@ class PallasSpec:
     ntheta: int = 1          # 3-D grids: theta cones/z=0 plane + phi
     nphi: int = 1            # half-planes (ARTES.f90:3030-3350)
     surface: bool = False    # Lambert surface (surface_albedo > 0)
+    n_mix: int = 1           # distinct scattering mixtures over cells
 
 
-def supports(tables, static) -> bool:
-    """True when this kernel covers the configuration (else use run_stream)."""
-    g = tables.grid
-    try:
-        sa = float(tables.surface_albedo)
-    except Exception:
-        return False  # traced tables: cannot specialise eagerly
-    ncell = g.nr * g.ntheta * g.nphi
-    return (static.photon_source in (1, 2)
-            and static.photon_scattering
-            and not static.track_flow
-            and 1 <= static.nx * static.ny <= 2048
-            and 1 <= g.nr <= 32 and g.ntheta <= 8 and g.nphi <= 8
-            and ncell <= 32
-            and tables.opacity.dtype == jnp.float32)
+# caps of the fast path (everything else falls back to run_stream)
+MAX_NR = 128
+MAX_NTHETA = 64
+MAX_NPHI = 64
+MAX_NCELL = 512
+MAX_NMIX = 8            # distinct per-cell scattering mixtures
+MAX_DISTINCT = 12       # distinct scattering-matrix columns after dedup
+MAX_PIXELS = 16384
 
 
-def make_spec(tables, static) -> PallasSpec:
-    g = tables.grid
-    scat = np.asarray(tables.scatter_rows)          # (nr*180, 16)
+@dataclasses.dataclass(frozen=True)
+class MixTables:
+    """Per-MIXTURE scattering tables, deduplicated over cells.
+
+    Cells index the physics only through their scattering mixture (matrix +
+    angular integrals + CDF prefix) — a hydrostatic molecular atmosphere has
+    hundreds of cells but ONE Rayleigh mixture, a patchy-cloud 3-D grid two
+    or three. Gathering by mixture id keeps the in-kernel matrix/CDF tables
+    at a handful of 128-entry rows regardless of cell count (the r3 kernel
+    indexed them per-cell, so nr=32 already cost a 45-chunk gather per
+    lookup and the kernel was capped at 32 cells)."""
+
+    mix: np.ndarray            # (ncell,) i32 cell -> mixture id
+    scatter_rows: np.ndarray   # (n_mix*180, 16)
+    alpha_prefix: np.ndarray   # (n_mix, 4, 181)
+    p_int: np.ndarray          # (n_mix, 4)
+    distinct: tuple            # matrix-column indices gathered as tables
+
+
+def _dedupe_mixtures(tables) -> MixTables:
+    ncell = tables.grid.nr * tables.grid.ntheta * tables.grid.nphi
+    scat = np.asarray(tables.scatter_rows, np.float32)       # (ncell*180, 16)
+    prefix = np.asarray(tables.alpha_prefix, np.float32)     # (ncell, 4, 181)
+    pint = np.asarray(tables.p_int, np.float32).reshape(ncell, 4)
+    key = np.concatenate([scat.reshape(ncell, -1),
+                          prefix.reshape(ncell, -1), pint], axis=1)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    nm = uniq.shape[0]
+    return MixTables(
+        mix=inv.astype(np.int32).reshape(-1),
+        scatter_rows=uniq[:, :180 * 16].reshape(nm * 180, 16),
+        alpha_prefix=uniq[:, 180 * 16:180 * 16 + 4 * 181].reshape(nm, 4, 181),
+        p_int=uniq[:, -4:].reshape(nm, 4),
+        distinct=(),
+    )
+
+
+def _column_reps(scat: np.ndarray):
+    """Dedup the 16 matrix columns: equal / negated / zero reuse."""
     reps = []
     distinct = []
     for e in range(16):
@@ -155,9 +199,44 @@ def make_spec(tables, static) -> PallasSpec:
             distinct.append(e)
         else:
             reps.append(hit)
-    prefix = np.asarray(tables.alpha_prefix)        # (nr, 4, 181)
+    return tuple(reps), distinct
+
+
+def supports(tables, static) -> bool:
+    """True when this kernel covers the configuration (else use run_stream)."""
+    g = tables.grid
+    try:
+        float(tables.surface_albedo)
+    except Exception:
+        return False  # traced tables: cannot specialise eagerly
+    ncell = g.nr * g.ntheta * g.nphi
+    ok = (static.photon_source in (1, 2)
+          and static.photon_scattering
+          and not static.track_flow
+          and not static.det_f64      # f32 in-kernel accumulators only
+          and not static.debug_stokes  # error-050 check: XLA kernel only
+          and 1 <= static.nx * static.ny <= MAX_PIXELS
+          and 1 <= g.nr <= MAX_NR and g.ntheta <= MAX_NTHETA
+          and g.nphi <= MAX_NPHI
+          and ncell <= MAX_NCELL
+          and tables.opacity.dtype == jnp.float32)
+    if not ok:
+        return False
+    mt = _dedupe_mixtures(tables)
+    if mt.alpha_prefix.shape[0] > MAX_NMIX:
+        return False
+    _, distinct = _column_reps(mt.scatter_rows)
+    return len(distinct) <= MAX_DISTINCT
+
+
+def make_spec(tables, static):
+    g = tables.grid
+    mt = _dedupe_mixtures(tables)
+    n_mix = mt.alpha_prefix.shape[0]
+    reps, distinct = _column_reps(mt.scatter_rows)
     alpha_active = tuple(int(k) for k in range(4)
-                         if np.any(prefix[:, k, :]))
+                         if np.any(mt.alpha_prefix[:, k, :]))
+    mt = dataclasses.replace(mt, distinct=tuple(distinct))
     return PallasSpec(
         nr=g.nr, cell_depth=int(tables.cell_depth),
         max_scatter=static.max_scatter, max_crossings=static.max_crossings,
@@ -165,14 +244,15 @@ def make_spec(tables, static) -> PallasSpec:
         ob=(g.ob_ax, g.ob_by, g.ob_cz),
         pos_eps=g.pos_eps, same_eps=g.same_eps, sel1=g.sel1, sel2=g.sel2,
         boundary_tol=g.boundary_tol,
-        scat_reps=tuple(reps), n_distinct=len(distinct),
+        scat_reps=reps, n_distinct=len(distinct),
         alpha_active=alpha_active,
         nx=static.nx, ny=static.ny,
         thermal=static.photon_source == 2,
         emission=static.photon_emission,
         ntheta=g.ntheta, nphi=g.nphi,
         surface=float(tables.surface_albedo) > 0.0,
-    ), distinct
+        n_mix=n_mix,
+    ), mt
 
 
 def _emit_basis(tables, spec):
@@ -214,6 +294,79 @@ def _acos(x):
     return jnp.where(x < 0.0, np.pi - r, r)
 
 
+def _gt_layout(spec: PallasSpec) -> dict:
+    """Row layout of the lane-gather table stack ``gt``.
+
+    Every per-mixture / per-cell / per-face table lives here as rows of 128
+    f32 entries, read in-kernel by 128-lane dynamic gathers; the kernel and
+    the host packer both derive offsets from this single function. Returns
+    ``name -> (row0, nch, count)`` (``count`` parallel tables of ``nch``
+    chunks each) plus ``"_total"``."""
+    NC = spec.nr * spec.ntheta * spec.nphi
+    nm = spec.n_mix
+    n_act = len(spec.alpha_active)
+    lay = {}
+    off = 0
+
+    def alloc(name, entries, count=1):
+        nonlocal off
+        nch = -(-entries // 128)
+        lay[name] = (off, nch, count)
+        off += nch * count
+
+    alloc("mat", nm * N_ANGLE, spec.n_distinct)
+    alloc("fine", nm * N_COARSE, n_act * (N_FINE + 1))
+    if nm > 1:
+        alloc("coarse", nm, n_act * (N_COARSE + 1))
+        alloc("pint", nm, 4)
+    if NC > 1:
+        alloc("opac", NC)
+        alloc("alb", NC)
+        if nm > 1:
+            alloc("mix", NC)
+        if spec.thermal:
+            alloc("ecum", NC)
+            alloc("cw", NC)
+    if spec.nr > 1:
+        alloc("rf", spec.nr + 1)
+    if spec.ntheta > 1:
+        alloc("tcombo", spec.ntheta, 6)
+        alloc("tcos", spec.ntheta + 1)
+    if spec.nphi > 1:
+        alloc("pcombo", spec.nphi, 4)
+        alloc("phif", spec.nphi + 1)
+    lay["_total"] = off
+    return lay
+
+
+def _sf_layout(spec: PallasSpec) -> dict:
+    """Offsets of the scalar (SMEM) parameter vector ``sf``."""
+    NC = spec.nr * spec.ntheta * spec.nphi
+    lay = {}
+    off = 0
+
+    def alloc(name, n):
+        nonlocal off
+        lay[name] = off
+        off += n
+
+    alloc("rf", spec.nr + 1)     # scalar uses (r_outer/r_floor) + nr==1 path
+    if NC == 1:
+        alloc("opac", 1)
+        alloc("alb", 1)
+        alloc("cw", 1)
+    alloc("scal", 4)             # fstop, pmin, x_max, y_max
+    alloc("det", 7)              # det_dir(3) + det_trig(4)
+    alloc("basis", 12)           # stellar-beam basis u_hat/e1/e2/w_hat
+    alloc("ec_total", 1)         # thermal emissivity CDF total
+    alloc("bias", 1)             # Gordon emission bias
+    if spec.n_mix == 1:
+        alloc("pint", 4)
+    alloc("salb", 1)
+    lay["_n"] = off
+    return lay
+
+
 def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
     """Construct the Pallas kernel body for one (spec, width).
 
@@ -232,10 +385,13 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
     NT = spec.ntheta
     NP = spec.nphi
     NC = nr * NT * NP               # flat cell count for per-cell tables
+    nm = spec.n_mix
     ax, by, cz = spec.ob
     a2, b2, c2 = ax * ax, by * by, cz * cz
     pos_eps = spec.pos_eps
     D = spec.n_distinct
+    lay = _gt_layout(spec)
+    offs = _sf_layout(spec)
 
     def sel_n(read, idx, n):
         """table[idx] for a per-lane index via unrolled selects.
@@ -248,15 +404,14 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             acc = jnp.where(idx == i, read(i), acc)
         return acc
 
-    def sel_cell(read, cr):
-        return sel_n(read, cr, nr)
-
     # gather-table geometry: lane tables are rows of 128 entries; per-lane
     # lookups are 128-lane dynamic gathers (jnp.take_along_axis along lanes,
     # the one vector-subscript form Mosaic lowers natively) instead of
-    # O(n_bins) compare-select chains — measured 2.3x on the whole kernel
-    nch_m = -(-(NC * N_ANGLE) // 128)      # scattering-matrix bin chunks
-    nch_f = -(-(NC * N_COARSE) // 128)     # fine-CDF block chunks
+    # O(n_bins) compare-select chains — measured 2.3x on the whole kernel.
+    # Matrix/CDF tables index by MIXTURE id (see MixTables), so their chunk
+    # counts scale with n_mix, not cell count.
+    nch_m = -(-(nm * N_ANGLE) // 128)      # scattering-matrix bin chunks
+    nch_f = -(-(nm * N_COARSE) // 128)     # fine-CDF block chunks
 
     # pool-state fields round-tripped through refs in segmented mode
     _STATE = ("stage", "pid", "ctr", "px", "py", "pz", "dx", "dy", "dz",
@@ -276,33 +431,23 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         seed = si[1]       # pre-mixed with the id high word (rng.key_hi)
         id_lo = si[2]      # low word of the chunk's first global photon id
 
-        # ---- scalar parameter loads (SMEM) ----
-        off = 0
-        rf = [sf[off + i] for i in range(nr + 1)]
-        off += nr + 1
-        op_off = off; off += NC
-        al_off = off; off += NC
-        pint_off = off; off += 4 * NC
-        fstop = sf[off]; pmin = sf[off + 1]
-        x_max = sf[off + 2]; y_max = sf[off + 3]
-        off += 4
-        ddx, ddy, ddz = sf[off], sf[off + 1], sf[off + 2]
-        st_d, ct_d, sp_d, cp_d = sf[off + 3], sf[off + 4], sf[off + 5], sf[off + 6]
-        off += 7
-        uhx, uhy, uhz = sf[off], sf[off + 1], sf[off + 2]
-        e1x, e1y, e1z = sf[off + 3], sf[off + 4], sf[off + 5]
-        e2x, e2y, e2z = sf[off + 6], sf[off + 7], sf[off + 8]
-        whx, why, whz = sf[off + 9], sf[off + 10], sf[off + 11]
-        off += 12
-        ec_off = off               # thermal emissivity CDF (NC entries)
-        cw_off = off + NC          # thermal cell weights (NC entries)
-        ph_bias = sf[off + 2 * NC]
-        off += 2 * NC + 1
-        tc_off = off               # theta_combo (NT, 6) flat
-        pc_off = off + NT * 6      # phi_combo (NP, 4) flat
-        tcos_off = pc_off + NP * 4     # theta_cos (NT+1)
-        phif_off = tcos_off + NT + 1   # phifront (NP+1), last = 2*pi
-        surf_alb = sf[phif_off + NP + 1]
+        # ---- scalar parameter loads (SMEM; layout = _sf_layout) ----
+        rf = [sf[offs["rf"] + i] for i in range(nr + 1)]
+        sc = offs["scal"]
+        fstop = sf[sc]; pmin = sf[sc + 1]
+        x_max = sf[sc + 2]; y_max = sf[sc + 3]
+        dof = offs["det"]
+        ddx, ddy, ddz = sf[dof], sf[dof + 1], sf[dof + 2]
+        st_d, ct_d, sp_d, cp_d = (sf[dof + 3], sf[dof + 4],
+                                  sf[dof + 5], sf[dof + 6])
+        bs = offs["basis"]
+        uhx, uhy, uhz = sf[bs], sf[bs + 1], sf[bs + 2]
+        e1x, e1y, e1z = sf[bs + 3], sf[bs + 4], sf[bs + 5]
+        e2x, e2y, e2z = sf[bs + 6], sf[bs + 7], sf[bs + 8]
+        whx, why, whz = sf[bs + 9], sf[bs + 10], sf[bs + 11]
+        ec_total = sf[offs["ec_total"]]
+        ph_bias = sf[offs["bias"]]
+        surf_alb = sf[offs["salb"]]
 
         dshape = (RR, C)
         zf = jnp.zeros(dshape, f32)
@@ -316,12 +461,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
         # ---- lane-gather tables (loop-invariant (RR, C) broadcasts of the
         # gt rows; Mosaic hoists them out of the pool loop) ----
-        n_act = len(spec.alpha_active)
-        mat_rows = D * nch_m
-        fine_rows = n_act * (N_FINE + 1) * nch_f
         gbc = [jnp.broadcast_to(gt[r:r + 1, :], dshape)
-               for r in range(mat_rows + fine_rows
-                              + (n_act * (N_COARSE + 1) if NC > 1 else 0))]
+               for r in range(lay["_total"])]
 
         def lane_gather(row0, nch, idx):
             """table[idx] for a table spread over gt rows row0..row0+nch-1."""
@@ -334,12 +475,58 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                     if nch > 1 else g
             return res
 
+        def gat(name, idx, sub=0):
+            """Entry ``idx`` of lane table ``name`` (sub-table ``sub``)."""
+            row0, nch, _ = lay[name]
+            return lane_gather(row0 + sub * nch, nch, idx)
+
+        def mono_count(n, probe):
+            """Count of leading True of the monotone predicate ``probe(i)``
+            over i in [0, n) — the branchless binary search that replaces
+            the O(n) compare-select scans (emissivity CDF, cell healing,
+            locate_cell) at realistic grid sizes."""
+            if n <= 0:
+                return zi
+            if n <= 8:
+                c_ = zi
+                for i in range(n):
+                    c_ = c_ + probe(zi + i).astype(i32)
+                return c_
+            b = 1
+            while b * 2 < n:
+                b *= 2
+            c_ = zi
+            while b >= 1:
+                t_ = c_ + b
+                ok_ = (t_ <= n) & probe(jnp.minimum(t_, n) - 1)
+                c_ = jnp.where(ok_, t_, c_)
+                b //= 2
+            return c_
 
         def opacity_at(fc):
-            return sel_n(lambda i: sf[op_off + i], fc, NC)
+            if NC == 1:
+                return sel_n(lambda i: sf[offs["opac"]], fc, 1)
+            return gat("opac", fc)
 
         def albedo_at(fc):
-            return sel_n(lambda i: sf[al_off + i], fc, NC)
+            if NC == 1:
+                return sel_n(lambda i: sf[offs["alb"]], fc, 1)
+            return gat("alb", fc)
+
+        def mix_of(fc):
+            if nm == 1:
+                return zi
+            return gat("mix", fc).astype(i32)
+
+        def rf_at(idx, plus=0):
+            """rfront[idx+plus] per lane (cell_face faces, heal, emit).
+
+            ``plus`` keeps the nr==1 case a loop-invariant scalar broadcast
+            (a dynamic select here would perturb FMA fusion in the quadratic
+            solves and break bit-identity with the r3 kernel)."""
+            if nr == 1:
+                return zf + rf[plus]
+            return gat("rf", idx + plus)
 
         # ---- geometry: radial-only cell_face (geometry.py:224-397) ----
         def quadratic(qa, qb, qc):
@@ -373,8 +560,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             rejection, phi half-planes with wraparound, two-tier epsilon
             selection and the boundary-pinned rescue."""
             cur_r = fax == 1
-            rp0 = sel_cell(lambda i: rf[i], cr)
-            rp1 = sel_cell(lambda i: rf[i + 1], cr)
+            rp0 = rf_at(cr)
+            rp1 = rf_at(cr, 1)
             r_in_active = ~(cur_r & (cr == fidx))
             d_r_in = jnp.where(
                 r_in_active,
@@ -388,7 +575,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 cur_t = fax == 2
 
                 def tcol(k):
-                    return sel_n(lambda i, k=k: sf[tc_off + i * 6 + k], ct, NT)
+                    return gat("tcombo", ct, sub=k)
 
                 def cone_distance(tan_t, is_cone, above, eps):
                     t2 = tan_t * tan_t
@@ -439,7 +626,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 cur_p = fax == 3
 
                 def pcol(k):
-                    return sel_n(lambda i, k=k: sf[pc_off + i * 4 + k], cp, NP)
+                    return gat("pcombo", cp, sub=k)
 
                 def phi_plane(sin_p, cos_p):
                     denom = by * dy * cos_p - ax * dx * sin_p
@@ -689,16 +876,16 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
         # ---- 180-bin matrix interpolation (sampling.matrix_at_angle_deg):
         # two lane-gathers per distinct column (bins r0, r0+1) ----
-        def matrix_at(fc, angle_deg):
+        def matrix_at(mx, angle_deg):
             t = angle_deg - 0.5
             r0 = jnp.clip(jnp.floor(t).astype(i32), 0, N_ANGLE - 2)
             frac = jnp.clip(t - r0.astype(f32), 0.0, 1.0)
             one_m = 1.0 - frac
-            idx = fc * N_ANGLE + r0 if NC > 1 else r0
+            idx = mx * N_ANGLE + r0 if nm > 1 else r0
             cols = []
             for d_ in range(D):
-                v0 = lane_gather(d_ * nch_m, nch_m, idx)
-                v1 = lane_gather(d_ * nch_m, nch_m, idx + 1)
+                v0 = gat("mat", idx, sub=d_)
+                v1 = gat("mat", idx + 1, sub=d_)
                 cols.append(one_m * v0 + frac * v1)
             ent = []
             for rep in spec.scat_reps:
@@ -765,13 +952,15 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             return nx * inv_n, ny * inv_n, nz * inv_n
 
         # ---- scattering-angle samplers (sampling.py) ----
-        def pint_at(fc, k):
-            return sel_n(lambda i: sf[pint_off + 4 * i + k], fc, NC)
+        def pint_at(mx, k):
+            if nm == 1:
+                return sel_n(lambda i: sf[offs["pint"] + k], mx, 1)
+            return gat("pint", mx, sub=k)
 
-        def sample_beta(fc, stokes, u1, u2):
+        def sample_beta(mx, stokes, u1, u2):
             si_, sq, su, sv = stokes
-            p11 = pint_at(fc, 0); p12 = pint_at(fc, 1)
-            p13 = pint_at(fc, 2); p14 = pint_at(fc, 3)
+            p11 = pint_at(mx, 0); p12 = pint_at(mx, 1)
+            p13 = pint_at(mx, 2); p14 = pint_at(mx, 3)
             a = p11 * si_ + p14 * sv
             b = p12 * sq + p13 * su
             cc = p12 * su - p13 * sq
@@ -812,37 +1001,37 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             beta = jnp.where(beta <= 0.0, 1.0e-10, beta)
             return beta, c2b, s2b
 
-        def sample_alpha(fc, stokes, c2b, s2b, u3):
+        def sample_alpha(mx, stokes, c2b, s2b, u3):
             si_, sq, su, sv = stokes
             wts = [si_, c2b * sq + s2b * su, -s2b * sq + c2b * su, sv]
             act = spec.alpha_active
 
             cum_c = []
             for j in range(N_COARSE + 1):
-                if NC == 1:
+                if nm == 1:
                     acc = zf
                     for k in act:
                         acc = acc + wts[k] * coarse[k * 16 + j]
                 else:
                     acc = zf
                     for ai, k in enumerate(act):
-                        row = mat_rows + fine_rows + ai * (N_COARSE + 1) + j
-                        acc = acc + wts[k] * lane_gather(row, 1, fc)
+                        acc = acc + wts[k] * gat(
+                            "coarse", mx, sub=ai * (N_COARSE + 1) + j)
                 cum_c.append(acc)
             target = u3 * cum_c[N_COARSE]
             k1 = zi
             for j in range(1, N_COARSE):
                 k1 = k1 + (cum_c[j] < target).astype(i32)
 
-            # fine CDF at the lane's (cell, coarse-block): one gather per
-            # (Stokes row, fine edge) from (nr*15)-entry tables
-            fidx = fc * N_COARSE + k1 if NC > 1 else k1
+            # fine CDF at the lane's (mixture, coarse-block): one gather per
+            # (Stokes row, fine edge) from (n_mix*15)-entry tables
+            fidx = mx * N_COARSE + k1 if nm > 1 else k1
             cum_f = []
             for j in range(N_FINE + 1):
                 acc = zf
                 for ai, k in enumerate(act):
-                    row = mat_rows + (ai * (N_FINE + 1) + j) * nch_f
-                    acc = acc + wts[k] * lane_gather(row, nch_f, fidx)
+                    acc = acc + wts[k] * gat("fine", fidx,
+                                             sub=ai * (N_FINE + 1) + j)
                 cum_f.append(acc)
             k2 = jnp.ones(dshape, i32)
             for j in range(1, N_FINE):
@@ -861,11 +1050,11 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             return alpha, alpha_deg
 
         # ---- detector peel prep (kernel.py _peel_photon_prep) ----
-        def peel_prep(px, py, pz, dx, dy, dz, fc, stokes):
+        def peel_prep(px, py, pz, dx, dy, dz, mx, stokes):
             eps = 1.0e-10
             mu = dx * ddx + dy * ddy + dz * ddz
             mu = jnp.clip(mu, -1.0 + eps, 1.0 - eps)
-            ent = matrix_at(fc, _acos(mu) * np.float32(1.0 / _DEG))
+            ent = matrix_at(mx, _acos(mu) * np.float32(1.0 / _DEG))
             denom = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0)) * \
                 jnp.sqrt(jnp.maximum(1.0 - dz * dz, 0.0))
             num = (ddz - dz * mu) / jnp.where(denom == 0.0, 1.0, denom)
@@ -914,33 +1103,40 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             # keep the birth point off the cell faces (see kernel.py _emit)
             u_r = jnp.clip(u_r, 1.0e-4, 1.0 - 1.0e-4)
             u_t = jnp.clip(u_t, 1.0e-4, 1.0 - 1.0e-4)
-            total = sf[ec_off + NC - 1]
-            target = u_cell * total
-            fc_e = zi
-            for i in range(NC - 1):
-                fc_e = fc_e + (sf[ec_off + i] < target).astype(i32)
-            # flat -> (cr, ct, cp) by unrolled select (no integer div/mod)
-            cr_e, ct_e, cp_e = zi, zi, zi
-            for i in range(NC):
-                hit = fc_e == i
-                cr_e = jnp.where(hit, i // (NT * NP), cr_e)
-                ct_e = jnp.where(hit, (i // NP) % NT, ct_e)
-                cp_e = jnp.where(hit, i % NP, cp_e)
-            r0 = sel_cell(lambda i: rf[i], cr_e)
-            r1 = sel_cell(lambda i: rf[i + 1], cr_e)
+            target = u_cell * ec_total
+            if NC == 1:
+                fc_e = zi
+            else:
+                # lower_bound on the nondecreasing emissivity CDF
+                fc_e = mono_count(NC - 1,
+                                  lambda i: gat("ecum", i) < target)
+            # flat -> (cr, ct, cp): floor-divide via f32 (exact for
+            # fc < 2^23 with the +0.5 midpoint guard; Mosaic has no i32 div)
+            if NT == 1 and NP == 1:
+                cr_e, ct_e, cp_e = fc_e, zi, zi
+            else:
+                d1 = NT * NP
+                cr_e = jnp.floor((fc_e.astype(f32) + 0.5)
+                                 * np.float32(1.0 / d1)).astype(i32)
+                rem = fc_e - cr_e * d1
+                ct_e = jnp.floor((rem.astype(f32) + 0.5)
+                                 * np.float32(1.0 / NP)).astype(i32)
+                cp_e = rem - ct_e * NP
+            r0 = rf_at(cr_e)
+            r1 = rf_at(cr_e, 1)
             r = r0 + u_r * (r1 - r0)
             if NT == 1:
                 cos_t = 1.0 - 2.0 * u_t      # theta_cos [1, -1]
             else:
-                tc0 = sel_n(lambda i: sf[tcos_off + i], ct_e, NT)
-                tc1 = sel_n(lambda i: sf[tcos_off + i + 1], ct_e, NT)
+                tc0 = gat("tcos", ct_e)
+                tc1 = gat("tcos", ct_e + 1)
                 cos_t = tc0 + u_t * (tc1 - tc0)
             sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
             if NP == 1:
                 phi = TWO_PI * u_p
             else:
-                pf0 = sel_n(lambda i: sf[phif_off + i], cp_e, NP)
-                pf1 = sel_n(lambda i: sf[phif_off + i + 1], cp_e, NP)
+                pf0 = gat("phif", cp_e)
+                pf1 = gat("phif", cp_e + 1)
                 phi = pf0 + u_p * (pf1 - pf0)
             e_px = r * sin_t * jnp.cos(phi) / ax
             e_py = r * sin_t * jnp.sin(phi) / by
@@ -969,7 +1165,11 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
                 bias_w = (np.float32(np.pi) * sth * (1.0 + bias * cth)) \
                     / (2.0 * jnp.sqrt(1.0 - bias * bias))
-            w0 = bias_w / sel_n(lambda i: sf[cw_off + i], fc_e, NC)
+            if NC == 1:
+                cw = sel_n(lambda i: sf[offs["cw"]], fc_e, 1)
+            else:
+                cw = gat("cw", fc_e)
+            w0 = bias_w / cw
             return ((e_px, e_py, e_pz), e_d, (cr_e, ct_e, cp_e), w0)
 
         def locate_tp(px_, py_, pz_):
@@ -984,9 +1184,9 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             r_ = jnp.sqrt(x_ * x_ + y_ * y_ + z_ * z_)
             if NT > 1:
                 cth = jnp.clip(z_ / jnp.maximum(r_, 1e-30), -1.0, 1.0)
-                ct_ = zi
-                for j in range(1, NT):
-                    ct_ = ct_ + (cth < sf[tcos_off + j]).astype(i32)
+                # theta_cos is decreasing: (cth < tcos[j]) is monotone in j
+                ct_ = mono_count(NT - 1,
+                                 lambda j: cth < gat("tcos", j + 1))
             else:
                 ct_ = zi
             if NP > 1:
@@ -994,9 +1194,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 base = _acos(jnp.clip(x_ / rxy, -1.0, 1.0))
                 phi_ = jnp.where(y_ >= 0.0, base,
                                  np.float32(TWO_PI) - base)
-                cp_ = zi
-                for j in range(1, NP):
-                    cp_ = cp_ + (phi_ >= sf[phif_off + j]).astype(i32)
+                cp_ = mono_count(NP - 1,
+                                 lambda j: phi_ >= gat("phif", j + 1))
                 cp_ = jnp.clip(cp_, 0, NP - 1)
             else:
                 cp_ = zi
@@ -1088,13 +1287,13 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             # (see geometry.heal_cell): triggered by a radial mismatch,
             # relocates all three indices
             rho = jnp.sqrt(a2 * px * px + b2 * py * py + c2 * pz * pz)
-            rp0 = sel_cell(lambda i: rf[i], cr)
-            rp1 = sel_cell(lambda i: rf[i + 1], cr)
+            rp0 = rf_at(cr)
+            rp1 = rf_at(cr, 1)
             bad = live & ((rho < rp0 - spec.sel1) | (rho > rp1 + spec.sel1))
             if nr > 1:
-                cr_loc = zi
-                for i in range(1, nr):
-                    cr_loc = cr_loc + (rho >= rf[i]).astype(i32)
+                # rfront is increasing: (rho >= rf[i]) is monotone in i
+                cr_loc = mono_count(nr - 1,
+                                    lambda i: rho >= rf_at(i, 1))
                 cr = jnp.where(bad, cr_loc, cr)
             if NT > 1 or NP > 1:
                 ct_loc, cp_loc = locate_tp(px, py, pz)
@@ -1119,13 +1318,14 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
             # ---- LIVE: peel prep + scattering ----
             stokes = (sI, sQ, sU, sV)
+            mx = mix_of(fc)
             (pcI, pcQ, pcU, pcV), pix_ok, pix = peel_prep(px, py, pz,
                                                           dx, dy, dz,
-                                                          fc, stokes)
-            beta, c2b, s2b = sample_beta(fc, stokes, d1, d2)
-            alpha, alpha_deg = sample_alpha(fc, stokes, c2b, s2b, d3)
+                                                          mx, stokes)
+            beta, c2b, s2b = sample_beta(mx, stokes, d1, d2)
+            alpha, alpha_deg = sample_alpha(mx, stokes, c2b, s2b, d3)
             ndx, ndy, ndz = direction_cosine(alpha, beta, dx, dy, dz)
-            ent = matrix_at(fc, alpha_deg)
+            ent = matrix_at(mx, alpha_deg)
             beta_sign = jnp.where(beta < np.float32(np.pi), 1.0, -1.0)
             nI, nQ, nU, nV = polarization_rotation(alpha, stokes, ent, dz, ndz,
                                                    False, c2b, s2b, beta_sign)
@@ -1439,66 +1639,97 @@ def _get_fn(spec: PallasSpec, width: int, interpret: bool,
     return _FN_CACHE[key]
 
 
-def _pack_inputs(tables, spec: PallasSpec, distinct, n_photons, seed,
+def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
                  id_hi=0, id_lo=0):
-    """Flatten the traced tables into the kernel's SMEM vectors."""
+    """Flatten the concrete tables into the kernel's SMEM / lane-table
+    operands, mirroring :func:`_sf_layout` and :func:`_gt_layout`."""
     g = tables.grid
     nr = spec.nr
+    nm = spec.n_mix
     ncell = nr * spec.ntheta * spec.nphi
     u_hat, e1s, e2s, w_hat = _emit_basis(tables, spec)
-    pf = jnp.arctan2(g.phi_sin, g.phi_cos)
-    pf = jnp.where(pf < 0.0, pf + TWO_PI, pf)
-    phifront = jnp.concatenate([pf, jnp.asarray([TWO_PI], pf.dtype)])
-    sf = jnp.concatenate([
-        g.rfront.astype(f32),
-        tables.opacity.astype(f32),
-        tables.albedo.astype(f32),
-        tables.p_int.reshape(-1).astype(f32),
-        jnp.stack([tables.fstop, tables.photon_minimum,
-                   tables.x_max, tables.y_max]).astype(f32),
-        tables.det_dir.astype(f32),
-        tables.det_trig.astype(f32),
-        u_hat, e1s, e2s, w_hat,
-        # thermal-source tables (unused rows for stellar specs)
-        jnp.broadcast_to(tables.emis_cum.astype(f32), (ncell,)),
-        jnp.broadcast_to(tables.cell_weight.astype(f32), (ncell,)),
-        tables.photon_bias.astype(f32).reshape(1),
-        # 3-D grid face tables (trivial for radial-only)
-        g.theta_combo.reshape(-1).astype(f32),     # (ntheta*6,)
-        g.phi_combo.reshape(-1).astype(f32),       # (nphi*4,)
-        g.theta_cos.astype(f32),                   # (ntheta+1,)
-        phifront.astype(f32),                      # (nphi+1,), last = 2*pi
-        tables.surface_albedo.astype(f32).reshape(1),
-    ])
+    emis_cum = jnp.broadcast_to(tables.emis_cum.astype(f32), (ncell,))
+    cell_w = jnp.broadcast_to(tables.cell_weight.astype(f32), (ncell,))
+
+    # ---- scalar (SMEM) vector, _sf_layout order ----
+    sf = [g.rfront.astype(f32)]
+    if ncell == 1:
+        sf += [tables.opacity.astype(f32).reshape(1),
+               tables.albedo.astype(f32).reshape(1),
+               cell_w[:1]]
+    sf += [jnp.stack([tables.fstop, tables.photon_minimum,
+                      tables.x_max, tables.y_max]).astype(f32),
+           tables.det_dir.astype(f32),
+           tables.det_trig.astype(f32),
+           u_hat, e1s, e2s, w_hat,
+           emis_cum[-1:],
+           tables.photon_bias.astype(f32).reshape(1)]
+    if nm == 1:
+        sf += [jnp.asarray(mt.p_int[0], f32)]
+    sf += [tables.surface_albedo.astype(f32).reshape(1)]
+    sf = jnp.concatenate(sf)
+    assert sf.shape[0] == _sf_layout(spec)["_n"]
+
     si = jnp.stack([jnp.asarray(n_photons, u32), R.key_hi(seed, id_hi),
                     jnp.asarray(id_lo, u32)])
-    prefix = tables.alpha_prefix.astype(f32)                 # (nr, 4, 181)
-    coarse = prefix[:, :, ::N_FINE].reshape(-1)              # (nr*4*16,)
-    body = prefix[:, :, :N_ANGLE].reshape(ncell, 4, N_COARSE, N_FINE)
-    last = prefix[:, :, N_FINE::N_FINE].reshape(ncell, 4, N_COARSE, 1)
-    fine = jnp.concatenate([body, last], axis=-1)            # (nr,4,15,13)
 
-    # lane-gather table rows (128 entries each; see _build_kernel lane_gather)
+    prefix = jnp.asarray(mt.alpha_prefix, f32)               # (nm, 4, 181)
+    if nm == 1:
+        coarse = prefix[:, :, ::N_FINE].reshape(-1)          # (4*16,)
+    else:
+        coarse = jnp.zeros(4 * (N_COARSE + 1), f32)          # gt path
+    body = prefix[:, :, :N_ANGLE].reshape(nm, 4, N_COARSE, N_FINE)
+    last = prefix[:, :, N_FINE::N_FINE].reshape(nm, 4, N_COARSE, 1)
+    fine = jnp.concatenate([body, last], axis=-1)            # (nm,4,15,13)
+
+    # ---- lane-gather table rows, _gt_layout order ----
     def rows_of(vec, nch):
+        vec = jnp.asarray(vec).reshape(-1)
         pad = jnp.zeros(nch * 128 - vec.shape[0], f32)
         return jnp.concatenate([vec.astype(f32), pad]).reshape(nch, 128)
 
-    nch_m = -(-(ncell * N_ANGLE) // 128)
-    nch_f = -(-(ncell * N_COARSE) // 128)
+    lay = _gt_layout(spec)
+    nch_m = lay["mat"][1]
+    nch_f = lay["fine"][1]
     act = spec.alpha_active
-    scat_cols = tables.scatter_rows[:, jnp.asarray(distinct)].astype(f32)
+    scat_cols = jnp.asarray(
+        mt.scatter_rows[:, np.asarray(mt.distinct, np.int64)]
+        if spec.n_distinct else np.zeros((nm * N_ANGLE, 0)), f32)
     gt = [rows_of(scat_cols[:, d], nch_m) for d in range(spec.n_distinct)]
-    # fine-CDF rows ordered (ai outer, j inner): kernel row index is
-    # mat_rows + (ai*(N_FINE+1) + j) * nch_f
     for ai, k in enumerate(act):
         for j in range(N_FINE + 1):
-            gt.append(rows_of(fine[:, k, :, j].reshape(-1), nch_f))
-    if ncell > 1:                         # coarse cum per (k, j), idx = cell
-        coarse_t = prefix[:, :, ::N_FINE]                    # (ncell, 4, 16)
+            gt.append(rows_of(fine[:, k, :, j], nch_f))
+    if nm > 1:
+        coarse_t = prefix[:, :, ::N_FINE]                    # (nm, 4, 16)
         for ai, k in enumerate(act):
             for j in range(N_COARSE + 1):
-                gt.append(rows_of(coarse_t[:, k, j], 1))
-    gt = jnp.concatenate(gt, axis=0)
+                gt.append(rows_of(coarse_t[:, k, j], lay["coarse"][1]))
+        for k in range(4):
+            gt.append(rows_of(jnp.asarray(mt.p_int[:, k], f32),
+                              lay["pint"][1]))
+    if ncell > 1:
+        gt.append(rows_of(tables.opacity, lay["opac"][1]))
+        gt.append(rows_of(tables.albedo, lay["alb"][1]))
+        if nm > 1:
+            gt.append(rows_of(jnp.asarray(mt.mix, f32), lay["mix"][1]))
+        if spec.thermal:
+            gt.append(rows_of(emis_cum, lay["ecum"][1]))
+            gt.append(rows_of(cell_w, lay["cw"][1]))
+    if nr > 1:
+        gt.append(rows_of(g.rfront, lay["rf"][1]))
+    if spec.ntheta > 1:
+        for k in range(6):
+            gt.append(rows_of(g.theta_combo[:, k], lay["tcombo"][1]))
+        gt.append(rows_of(g.theta_cos, lay["tcos"][1]))
+    if spec.nphi > 1:
+        pf = jnp.arctan2(g.phi_sin, g.phi_cos)
+        pf = jnp.where(pf < 0.0, pf + TWO_PI, pf)
+        phifront = jnp.concatenate([pf, jnp.asarray([TWO_PI], pf.dtype)])
+        for k in range(4):
+            gt.append(rows_of(g.phi_combo[:, k], lay["pcombo"][1]))
+        gt.append(rows_of(phifront, lay["phif"][1]))
+    gt = jnp.concatenate(gt, axis=0) if gt else jnp.zeros((1, 128), f32)
+    assert gt.shape[0] == max(lay["_total"], 1)
     return sf, si, coarse, gt
 
 
@@ -1510,13 +1741,13 @@ def run_stream_pallas(tables, static, n_photons, seed, width: int,
     kernel on grid shape and scattering-matrix structure eagerly. Multi-pixel
     detectors run through the segmented kernel + XLA record flush.
     """
-    spec, distinct = make_spec(tables, static)
+    spec, mt = make_spec(tables, static)
     if width % 128 != 0:
         raise ValueError("width must be a multiple of 128")
     if spec.nx * spec.ny > 1:
-        return _run_segmented(tables, static, spec, distinct, n_photons,
+        return _run_segmented(tables, static, spec, mt, n_photons,
                               seed, width, id_hi, id_lo, interpret)
-    sf, si, coarse, gt = _pack_inputs(tables, spec, distinct,
+    sf, si, coarse, gt = _pack_inputs(tables, spec, mt,
                                       n_photons, seed, id_hi, id_lo)
     lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
     lt_r = jnp.asarray(np.tril(np.ones((width // 128, width // 128),
@@ -1642,12 +1873,12 @@ def _get_driver(spec: PallasSpec, width: int, interpret: bool):
     return driver
 
 
-def _run_segmented(tables, static, spec, distinct, n_photons, seed, width,
+def _run_segmented(tables, static, spec, mt, n_photons, seed, width,
                    id_hi, id_lo, interpret):
     """Imaging runs: segmented pool kernel + on-device XLA record flush."""
     from artes_tpu.transport import rng as R
 
-    sf, _, coarse, gt = _pack_inputs(tables, spec, distinct,
+    sf, _, coarse, gt = _pack_inputs(tables, spec, mt,
                                      n_photons, seed, id_hi, id_lo)
     lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
     lt_r = jnp.asarray(np.tril(np.ones((width // 128, width // 128),

@@ -111,3 +111,43 @@ def test_oblateness_fov():
     assert det.x_max == pytest.approx(1.3e7 * 1.5)
     expected_fov = 2 * math.atan(det.x_max / cfg.distance_planet) * 3600 * 180 / PI * 1000
     assert det.x_fov == pytest.approx(expected_fov)
+
+
+def test_max_scatter_key():
+    """photon:max_scatter (extension key; the reference runs photons to
+    roulette death, ARTES.f90:786-951 — VERDICT r3 weak #5)."""
+    from artes_tpu.config import ConfigError, apply_key, parse_lines, snapshot
+
+    cfg = parse_lines(["photon:max_scatter=8"])
+    assert cfg.max_scatter == 8
+    assert "photon:max_scatter=8" in snapshot(cfg)
+    cfg2 = ArtesConfig()
+    assert cfg2.max_scatter == 256
+    cfg2.max_scatter = 0
+    with pytest.raises(ConfigError):
+        cfg2.validate()
+    cfg3 = ArtesConfig()
+    with pytest.raises(ConfigError):
+        apply_key(cfg3, "photon:nonsense", "1")
+
+
+def test_max_scatter_reaches_kernel():
+    """The config cap flows into KernelStatic and truncated photons are
+    tallied as n_alive_at_cap."""
+    import jax.numpy as jnp
+    import numpy as np
+    from artes_tpu import presets
+    from artes_tpu.runner import _kernel_static, run_wavelength
+
+    atm = presets.rayleigh_single_layer(tau=8.0)
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    cfg.max_scatter = 2
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    assert _kernel_static(cfg, det, atm, False).max_scatter == 2
+    res = run_wavelength(atm, cfg, det, 0, 400, seed=1, dtype=jnp.float32)
+    assert res.n_alive_at_cap > 0
+
+    cfg.max_scatter = 256
+    res2 = run_wavelength(atm, cfg, det, 0, 400, seed=1, dtype=jnp.float32)
+    assert res2.n_alive_at_cap == 0
