@@ -102,6 +102,7 @@ def _kernel_static(cfg: ArtesConfig, det: DetectorSetup, atm, crescent: bool) ->
         max_scatter=cfg.max_scatter,
         max_crossings=geom,
         track_flow=cfg.flow_global or cfg.flow_theta,
+        has_surface=cfg.surface_albedo > 0.0,
         debug_stokes=getattr(cfg, "debug_stokes", False),
     )
 

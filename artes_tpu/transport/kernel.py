@@ -33,6 +33,7 @@ import numpy as np
 from artes_tpu.constants import PI
 from artes_tpu.transport import geometry as G
 from artes_tpu.transport import mueller as M
+from artes_tpu.transport import radial as RAD
 from artes_tpu.transport import rng as R
 from artes_tpu.transport import sampling as S
 
@@ -54,6 +55,10 @@ class KernelStatic:
     max_scatter: int = 128
     max_crossings: int = 64
     track_flow: bool = False
+    # config has a Lambert surface (surface_albedo > 0). Static because the
+    # closed-form radial fast path (transport/radial.py) excludes surface
+    # configs at trace time — multi-bounce legs keep the marching loop.
+    has_surface: bool = False
     # accumulate detector moments in float64 (needs jax_enable_x64): makes the
     # detector sum invariant to sharding/summation order at rtol ~1e-13, the
     # multi-chip equality contract (per-lane physics stays in the table dtype).
@@ -219,8 +224,25 @@ def _splat(detector, pix, stokes4, mask, first_only: bool = False):
 # (the shared grid walk of peel_thermal/surface/photon, ARTES.f90:4542-4569)
 # ---------------------------------------------------------------------------
 
+def _radial_lists(t: TransportTables):
+    """Scalar face/opacity lists for the closed-form radial path."""
+    g = t.grid
+    a2, b2, c2 = g.ob_ax * g.ob_ax, g.ob_by * g.ob_by, g.ob_cz * g.ob_cz
+    rf = [g.rfront[j] for j in range(g.nr + 1)]
+    kx = [t.opacity[m] for m in range(g.nr)]
+    rf_floor = g.rfront[t.cell_depth]
+    return a2, b2, c2, rf, kx, rf_floor, g.pos_eps
+
+
 def _peel_walk(t: TransportTables, static: KernelStatic, pos, cell, face, active):
     grid = t.grid
+    if RAD.use_closed_form(grid, static):
+        a2, b2, c2, rf, kx, rfl, peps = _radial_lists(t)
+        d = t.det_dir.astype(pos.dtype)
+        o = RAD.tau_walk(a2, b2, c2, rf, kx, rfl, peps,
+                         pos[..., 0], pos[..., 1], pos[..., 2],
+                         d[0], d[1], d[2])
+        return o["tau"], o["exited"], o["err"]
 
     def cond(c):
         return jnp.any(c["marching"]) & (c["it"] < static.max_crossings)
@@ -489,6 +511,51 @@ def _flow_theta_update(flow, next_axis, outward, energy, cell_flat, mask):
 # (the do-loops at ARTES.f90:687-778 and :850-941)
 # ---------------------------------------------------------------------------
 
+def _march_radial(t: TransportTables, static: KernelStatic, counter,
+                  pos, dirn, cell, face, stokes, tau, active, detector,
+                  flow_g, flow_t, merged_peel, peel_dir, peel_active):
+    """Closed-form transport march for radial-only, surfaceless grids
+    (transport/radial.py): no while_loop, no RNG sites consumed, no
+    geometry failure modes. Output contract mirrors :func:`_march`."""
+    grid = t.grid
+    B = pos.shape[0]
+    a2, b2, c2, rf, kx, rfl, peps = _radial_lists(t)
+    mo = RAD.march(a2, b2, c2, rf, kx, rfl, peps,
+                   pos[..., 0], pos[..., 1], pos[..., 2],
+                   dirn[..., 0], dirn[..., 1], dirn[..., 2],
+                   tau, active, jnp.int32)
+    moved = mo["inter"] | mo["surface"]
+    pos_new = jnp.where(moved[..., None],
+                        pos + mo["s_stop"][..., None] * dirn, pos)
+    cell_new = jnp.where(mo["inter"][..., None],
+                         jnp.stack([mo["cr"], jnp.zeros_like(mo["cr"]),
+                                    jnp.zeros_like(mo["cr"])], axis=-1),
+                         cell)
+    face_new = jnp.where(mo["inter"][..., None], jnp.zeros_like(face), face)
+    false = jnp.zeros(B, bool)
+    out = {
+        "pos": pos_new, "dirn": dirn, "cell": cell_new, "face": face_new,
+        "stokes": stokes, "tau_run": mo["tau_surf"],
+        "interacted": mo["inter"], "exited": mo["exited"],
+        "absorbed": mo["surface"], "surface": mo["surface"],
+        "error": false, "e031": false, "e032": false, "e034": false,
+        "marching": false, "detector": detector,
+        "flow_g": flow_g if flow_g is not None else jnp.zeros((1, 3), pos.dtype),
+        "flow_t": flow_t if flow_t is not None else jnp.zeros((1, 4), pos.dtype),
+        "counter": counter,
+    }
+    if merged_peel:
+        pdir = jnp.broadcast_to(t.det_dir, (B, 3)).astype(dirn.dtype) \
+            if peel_dir is None else peel_dir
+        pw = RAD.tau_walk(a2, b2, c2, rf, kx, rfl, peps,
+                          pos[..., 0], pos[..., 1], pos[..., 2],
+                          pdir[..., 0], pdir[..., 1], pdir[..., 2])
+        peel = {"tau": pw["tau"], "exited": pw["exited"],
+                "surface": pw["surface"], "error": false}
+        return out, counter, peel
+    return out, counter
+
+
 def _march(t: TransportTables, static: KernelStatic, keys, counter,
            pos, dirn, cell, face, stokes, tau, active, detector,
            flow_g=None, flow_t=None, merged_peel: bool = False,
@@ -512,6 +579,10 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
     """
     grid = t.grid
     B = pos.shape[0]
+    if RAD.use_closed_form(grid, static):
+        return _march_radial(t, static, counter, pos, dirn, cell, face,
+                             stokes, tau, active, detector, flow_g, flow_t,
+                             merged_peel, peel_dir, peel_active)
     if merged_peel:
         inf = jnp.asarray(jnp.inf, tau.dtype)
         pdir = jnp.broadcast_to(t.det_dir, (B, 3)).astype(dirn.dtype) \
@@ -691,6 +762,12 @@ def _first_tau_walk(t: TransportTables, static: KernelStatic, pos, dirn, cell, f
     """Pre-walk to the grid edge/surface accumulating tau_first
     (ARTES.f90:623-656)."""
     grid = t.grid
+    if RAD.use_closed_form(grid, static):
+        a2, b2, c2, rf, kx, rfl, peps = _radial_lists(t)
+        o = RAD.tau_walk(a2, b2, c2, rf, kx, rfl, peps,
+                         pos[..., 0], pos[..., 1], pos[..., 2],
+                         dirn[..., 0], dirn[..., 1], dirn[..., 2])
+        return o["tau"], o["surface"], o["err"]
 
     def cond(c):
         return jnp.any(c["marching"]) & (c["it"] < static.max_crossings)

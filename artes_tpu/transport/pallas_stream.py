@@ -70,6 +70,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from artes_tpu.transport import radial as RAD
 from artes_tpu.transport import rng as R
 
 i32 = jnp.int32
@@ -305,6 +306,7 @@ def _gt_layout(spec: PallasSpec) -> dict:
     NC = spec.nr * spec.ntheta * spec.nphi
     nm = spec.n_mix
     n_act = len(spec.alpha_active)
+    closed = _radial_closed(spec)
     lay = {}
     off = 0
 
@@ -320,7 +322,8 @@ def _gt_layout(spec: PallasSpec) -> dict:
         alloc("coarse", nm, n_act * (N_COARSE + 1))
         alloc("pint", nm, 4)
     if NC > 1:
-        alloc("opac", NC)
+        if not closed:               # closed-form path reads opacity as
+            alloc("opac", NC)        # SMEM scalars (trace-time loop index)
         alloc("alb", NC)
         if nm > 1:
             alloc("mix", NC)
@@ -339,6 +342,11 @@ def _gt_layout(spec: PallasSpec) -> dict:
     return lay
 
 
+def _radial_closed(spec: PallasSpec) -> bool:
+    """Closed-form radial transport applies (see transport/radial.py)."""
+    return spec.ntheta == 1 and spec.nphi == 1 and not spec.surface
+
+
 def _sf_layout(spec: PallasSpec) -> dict:
     """Offsets of the scalar (SMEM) parameter vector ``sf``."""
     NC = spec.nr * spec.ntheta * spec.nphi
@@ -351,8 +359,11 @@ def _sf_layout(spec: PallasSpec) -> dict:
         off += n
 
     alloc("rf", spec.nr + 1)     # scalar uses (r_outer/r_floor) + nr==1 path
-    if NC == 1:
+    if _radial_closed(spec):
+        alloc("opac", NC)        # per-cell scalars for the closed-form walks
+    elif NC == 1:
         alloc("opac", 1)
+    if NC == 1:
         alloc("alb", 1)
         alloc("cw", 1)
     alloc("scal", 4)             # fstop, pmin, x_max, y_max
@@ -412,6 +423,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
     # counts scale with n_mix, not cell count.
     nch_m = -(-(nm * N_ANGLE) // 128)      # scattering-matrix bin chunks
     nch_f = -(-(nm * N_COARSE) // 128)     # fine-CDF block chunks
+    RADIAL = _radial_closed(spec)          # closed-form walks (radial.py)
 
     # pool-state fields round-tripped through refs in segmented mode
     _STATE = ("stage", "pid", "ctr", "px", "py", "pz", "dx", "dy", "dz",
@@ -458,6 +470,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         cd = spec.cell_depth
         r_outer = rf[nr]
         r_floor = rf[cd]
+        if RADIAL:
+            kx = [sf[offs["opac"] + m] for m in range(NC)]
 
         # ---- lane-gather tables (loop-invariant (RR, C) broadcasts of the
         # gt rows; Mosaic hoists them out of the pool loop) ----
@@ -739,6 +753,26 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         # ---- transport march (kernel.py _march, transport half) ----
         def march(px, py, pz, dx, dy, dz, cr, ct, cp, fax, fidx, tau,
                   active, ctr, k0=None, k1=None):
+            if RADIAL:
+                # closed-form shell-chord march (radial.py): loop-free,
+                # error-free, consumes no RNG sites — arithmetic shared
+                # with kernel.py _march_radial for bit-compatible streams
+                mo = RAD.march(a2, b2, c2, rf, kx, rf[cd], pos_eps,
+                               px, py, pz, dx, dy, dz, tau, active, i32)
+                moved = mo["inter"] | mo["surface"]
+                return dict(
+                    px=jnp.where(moved, px + mo["s_stop"] * dx, px),
+                    py=jnp.where(moved, py + mo["s_stop"] * dy, py),
+                    pz=jnp.where(moved, pz + mo["s_stop"] * dz, pz),
+                    cr=jnp.where(mo["inter"], mo["cr"], cr),
+                    ct=ct, cp=cp,
+                    fax=jnp.where(mo["inter"], 0, fax),
+                    fidx=jnp.where(mo["inter"], 0, fidx),
+                    ctr=ctr, tau_run=mo["tau_surf"],
+                    refl=zb, rdx=zf, rdy=zf, rdz=zf,
+                    inter=mo["inter"], err=zb, e031=zb, e034=zb, e032=zb,
+                    exited=mo["exited"])
+
             def cond(c):
                 return jnp.any(c["m"] != 0) & (c["it"] < spec.max_crossings)
 
@@ -837,6 +871,12 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
         # ---- peel / prewalk tau walk (the merged-march peel half) ----
         def tau_walk(px, py, pz, dx, dy, dz, cr, ct, cp, fax, fidx, active):
+            if RADIAL:
+                o = RAD.tau_walk(a2, b2, c2, rf, kx, rf[cd], pos_eps,
+                                 px, py, pz, dx, dy, dz)
+                return dict(tau=o["tau"], exited=o["exited"],
+                            surface=o["surface"], err=o["err"])
+
             def cond(c):
                 return jnp.any(c["m"] != 0) & (c["it"] < spec.max_crossings)
 
@@ -1652,10 +1692,14 @@ def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
     cell_w = jnp.broadcast_to(tables.cell_weight.astype(f32), (ncell,))
 
     # ---- scalar (SMEM) vector, _sf_layout order ----
+    closed = _radial_closed(spec)
     sf = [g.rfront.astype(f32)]
+    if closed:
+        sf += [tables.opacity.astype(f32).reshape(ncell)]
+    elif ncell == 1:
+        sf += [tables.opacity.astype(f32).reshape(1)]
     if ncell == 1:
-        sf += [tables.opacity.astype(f32).reshape(1),
-               tables.albedo.astype(f32).reshape(1),
+        sf += [tables.albedo.astype(f32).reshape(1),
                cell_w[:1]]
     sf += [jnp.stack([tables.fstop, tables.photon_minimum,
                       tables.x_max, tables.y_max]).astype(f32),
@@ -1708,7 +1752,8 @@ def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
             gt.append(rows_of(jnp.asarray(mt.p_int[:, k], f32),
                               lay["pint"][1]))
     if ncell > 1:
-        gt.append(rows_of(tables.opacity, lay["opac"][1]))
+        if not closed:
+            gt.append(rows_of(tables.opacity, lay["opac"][1]))
         gt.append(rows_of(tables.albedo, lay["alb"][1]))
         if nm > 1:
             gt.append(rows_of(jnp.asarray(mt.mix, f32), lay["mix"][1]))

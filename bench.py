@@ -102,6 +102,35 @@ if use_pallas:
 else:
     agree = 0.0
 
+# hydrostatic-scale grid (VERDICT r3 item 1): 39 radial cells with an
+# exponentially graded opacity profile — the shape ptprofile.isothermal()'s
+# default 40-level P-T grid produces. Must run through the Pallas fast path
+# (closed-form radial transport) at full speed, with splat counts bit-equal
+# to the XLA kernel.
+atm39 = presets.rayleigh_single_layer(tau=4.0, nr=39, shell_km=97.5)
+prof = np.exp(np.linspace(2.0, -2.0, 39))[:, None, None, None]
+atm39.k_sca = atm39.k_sca * prof
+atm39.k_abs = atm39.k_abs * prof
+cfg39 = ArtesConfig()
+cfg39.mode = "spectrum"
+det39 = detector_setup(cfg39, float(atm39.rfront[-1]))
+static39 = _kernel_static(cfg39, det39, atm39, False)
+prep39 = build_tables(atm39, cfg39, det39, 0, dtype=dtype)
+use_pallas39 = pallas_stream.supports(prep39.tables, static39) and platform != "cpu"
+if use_pallas39:
+    n39 = min(n_photons, 1 << 26)
+    tp39, out39, (_, n_err39, _) = measure(
+        pallas_stream.run_stream_pallas, static39, prep39, n39, 31, PALLAS_WIDTH)
+    n_small = 1 << 16
+    o_p = pallas_stream.run_stream_pallas(prep39.tables, static39, n_small, 7,
+                                          PALLAS_WIDTH)
+    o_x = run_stream(prep39.tables, static39, n_small, 7, 1 << 14)
+    counts_eq = bool(np.array_equal(
+        np.asarray(o_p["detector"], np.float64)[..., 2],
+        np.asarray(o_x["detector"], np.float64)[..., 2]))
+else:
+    tp39, n_err39, counts_eq = 0.0, -1, False
+
 static_i, prep_i = setup("imaging_mono", npix=25)
 use_pallas_i = pallas_stream.supports(prep_i.tables, static_i) and platform != "cpu"
 if use_pallas_i:
@@ -119,6 +148,9 @@ print(json.dumps({
     "xla_throughput": tp_xla,
     "pallas_vs_xla_I_rel": agree,
     "imaging_throughput": tp_img,
+    "hydrostatic39_throughput": tp39,
+    "hydrostatic39_counts_equal": counts_eq,
+    "hydrostatic39_n_error": n_err39,
     "detector_I_raw": float(np.asarray(out["detector"], np.float64)[:, 0, 0].sum()),
     "device": str(jax.devices()[0]),
     "n_error": n_err,
@@ -176,6 +208,9 @@ def main():
         "xla_throughput": result["xla_throughput"],
         "pallas_vs_xla_I_rel": result["pallas_vs_xla_I_rel"],
         "imaging_throughput_25px": result["imaging_throughput"],
+        "hydrostatic39_throughput": result.get("hydrostatic39_throughput", 0.0),
+        "hydrostatic39_counts_equal": result.get("hydrostatic39_counts_equal"),
+        "hydrostatic39_n_error": result.get("hydrostatic39_n_error"),
         "detector_I_raw": result["detector_I_raw"],
         "device": result["device"],
         "n_error": result["n_error"],

@@ -84,8 +84,11 @@ def test_physical_matrix_no_anomaly():
 
 def test_degenerate_geometry_ring_capture():
     """Injected degenerate traversal (max_crossings too small for the grid)
-    floods error 032; the ring keeps capturing past the first K events."""
-    atm = presets.rayleigh_single_layer(tau=6.0, nr=8)
+    floods error 032; the ring keeps capturing past the first K events.
+    Uses a 3-D grid: radial-only grids run the closed-form transport
+    (transport/radial.py) which has no crossing cap and no failure modes."""
+    atm = presets.rayleigh_single_layer(tau=6.0, nr=8,
+                                        theta_deg=(0.0, 90.0, 180.0))
     cfg = ArtesConfig()
     cfg.mode = "spectrum"
     det = detector_setup(cfg, float(atm.rfront[-1]))
@@ -112,8 +115,10 @@ def test_error_log_state_dump(tmp_path, monkeypatch):
     (d / "opacity").mkdir(parents=True)
     write_opacity_fits(d / "opacity" / "rayleigh.fits",
                        rayleigh.generate([0.6]))
+    # theta faces force the marching path (the closed-form radial
+    # transport cannot be driven into geometry errors)
     (d / "atmosphere.in").write_text(
-        "[grid]\nradius: 1.\nradial: 20, 40, 60, 80, 100\ntheta:\nphi:\n\n"
+        "[grid]\nradius: 1.\nradial: 20, 40, 60, 80, 100\ntheta: 90\nphi:\n\n"
         "[composition]\ngas: off\nfits01: rayleigh.fits\n"
         "opacity01: 1, 2e-3, 0, 5, 0, ntheta, 0, nphi\n")
     (d / "artes.in").write_text(

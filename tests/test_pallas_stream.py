@@ -35,12 +35,16 @@ def _compare(static, prep, n=384, width=256, seed=5):
     det_ref = np.asarray(ref["detector"], np.float64)
     det_out = np.asarray(out["detector"], np.float64)
     # identical photon streams: splat counts match exactly; the sums see
-    # f32 evaluation-order differences (MXU contractions vs scalar FMA
-    # chains in the CDF inversion) that perturb each contribution at ~1e-6,
-    # so value parity is a tolerance check
+    # f32 evaluation-order differences (FMA contraction differs between the
+    # two compilations of the shared formulas) that perturb each contribution
+    # at ~1e-6 relative, so value parity is a tolerance check. Q/U/V are
+    # CANCELLING sums of I-sized contributions, so their absolute tolerance
+    # scales with the dominant I magnitude, not with their own near-zero
+    # values.
     np.testing.assert_array_equal(det_out[..., 2], det_ref[..., 2])
+    scale = max(float(np.abs(det_ref[..., 0]).max()), 1.0)
     np.testing.assert_allclose(det_out[..., 0], det_ref[..., 0],
-                               rtol=2e-3, atol=1e-3)
+                               rtol=2e-3, atol=2e-3 * scale)
     assert int(out["n_error"]) == int(ref["n_error"])
     np.testing.assert_array_equal(np.asarray(out["error_codes"]),
                                   np.asarray(ref["error_codes"]))
