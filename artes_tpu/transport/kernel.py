@@ -569,10 +569,12 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
     their sum. The RNG site schedule is unchanged (draws use the first-half
     keys), keeping per-photon streams identical to the unmerged form.
 
-    ``counter`` is a (B,) per-lane draw-site vector advancing by 3 per
-    crossing per marching lane, so every photon's stream is a function of its
-    own event history only — the one schedule shared by every kernel variant
-    (single-device, sharded, vmapped, regeneration).
+    ``counter`` is a (B,) per-lane draw-site vector, so every photon's
+    stream is a function of its own event history only — the one schedule
+    shared by every kernel variant (single-device, sharded, vmapped,
+    regeneration). The marching path advances it by 3 per crossing per lane
+    (the in-march Lambert draws); the closed-form radial path
+    (transport/radial.py, taken for radial surfaceless grids) consumes none.
     ``peel_dir`` overrides the peel half's direction per lane (default: the
     detector direction); ``peel_active`` masks the peel half separately
     (default: same as ``active``).

@@ -238,8 +238,13 @@ def make_spec(tables, static):
     alpha_active = tuple(int(k) for k in range(4)
                          if np.any(mt.alpha_prefix[:, k, :]))
     mt = dataclasses.replace(mt, distinct=tuple(distinct))
+    # closed-form radial configs read the photon floor radius from a runtime
+    # scalar (sf "rfloor"), so cell_depth is normalized out of the spec and
+    # per-wavelength floor changes share one compiled kernel
+    closed = (g.ntheta == 1 and g.nphi == 1
+              and float(tables.surface_albedo) <= 0.0)
     return PallasSpec(
-        nr=g.nr, cell_depth=int(tables.cell_depth),
+        nr=g.nr, cell_depth=0 if closed else int(tables.cell_depth),
         max_scatter=static.max_scatter, max_crossings=static.max_crossings,
         crescent=static.crescent, stellar_direction=static.stellar_direction,
         ob=(g.ob_ax, g.ob_by, g.ob_cz),
@@ -361,6 +366,9 @@ def _sf_layout(spec: PallasSpec) -> dict:
     alloc("rf", spec.nr + 1)     # scalar uses (r_outer/r_floor) + nr==1 path
     if _radial_closed(spec):
         alloc("opac", NC)        # per-cell scalars for the closed-form walks
+        alloc("rfloor", 1)       # rfront[cell_depth] as a RUNTIME scalar, so
+        # per-wavelength cell_depth changes do not recompile the kernel
+        # (spec.cell_depth is normalized to 0 for closed-form configs)
     elif NC == 1:
         alloc("opac", 1)
     if NC == 1:
@@ -472,6 +480,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         r_floor = rf[cd]
         if RADIAL:
             kx = [sf[offs["opac"] + m] for m in range(NC)]
+            rfloor = sf[offs["rfloor"]]
 
         # ---- lane-gather tables (loop-invariant (RR, C) broadcasts of the
         # gt rows; Mosaic hoists them out of the pool loop) ----
@@ -757,7 +766,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 # closed-form shell-chord march (radial.py): loop-free,
                 # error-free, consumes no RNG sites — arithmetic shared
                 # with kernel.py _march_radial for bit-compatible streams
-                mo = RAD.march(a2, b2, c2, rf, kx, rf[cd], pos_eps,
+                mo = RAD.march(a2, b2, c2, rf, kx, rfloor, pos_eps,
                                px, py, pz, dx, dy, dz, tau, active, i32)
                 moved = mo["inter"] | mo["surface"]
                 return dict(
@@ -872,7 +881,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         # ---- peel / prewalk tau walk (the merged-march peel half) ----
         def tau_walk(px, py, pz, dx, dy, dz, cr, ct, cp, fax, fidx, active):
             if RADIAL:
-                o = RAD.tau_walk(a2, b2, c2, rf, kx, rf[cd], pos_eps,
+                o = RAD.tau_walk(a2, b2, c2, rf, kx, rfloor, pos_eps,
                                  px, py, pz, dx, dy, dz)
                 return dict(tau=o["tau"], exited=o["exited"],
                             surface=o["surface"], err=o["err"])
@@ -1695,7 +1704,8 @@ def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
     closed = _radial_closed(spec)
     sf = [g.rfront.astype(f32)]
     if closed:
-        sf += [tables.opacity.astype(f32).reshape(ncell)]
+        sf += [tables.opacity.astype(f32).reshape(ncell),
+               g.rfront[tables.cell_depth].astype(f32).reshape(1)]
     elif ncell == 1:
         sf += [tables.opacity.astype(f32).reshape(1)]
     if ncell == 1:

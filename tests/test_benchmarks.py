@@ -33,6 +33,7 @@ def _static_with(max_scatter):
     return patched
 
 
+@pytest.mark.slow
 def test_deep_rayleigh_geometric_albedo(monkeypatch):
     """tau=100 conservative Rayleigh at phase ~0: A_g within the truncated
     band below the semi-infinite literature value 0.7977."""
@@ -92,6 +93,7 @@ def test_hg_cloud_forward_scattering_phase_curve():
     assert flux[30.0] > flux[150.0]
 
 
+@pytest.mark.slow
 def test_patchy_3d_detector_asymmetry():
     """BASELINE config #4 shape: theta/phi cloud patches break symmetry in
     the detector image."""

@@ -41,6 +41,7 @@ def test_stellar_direction_changes_phase():
     assert abs(full.photometry[2] / full.photometry[0]) < 0.05
 
 
+@pytest.mark.slow
 def test_oblate_image_wider_than_tall():
     """Oblateness stretches the equator: seen at full phase, the detector
     image (pole axis on the image y axis) must be wider than tall.
@@ -105,6 +106,7 @@ def test_thermal_biased_emission_unbiased_estimator():
     assert biased.photometry[0] == pytest.approx(iso.photometry[0], rel=0.08)
 
 
+@pytest.mark.slow
 def test_ring_system_build_and_run(tmp_path):
     """Builder ring layer (atmosphere.py:404-445): two extra radial cells;
     the run completes and the ring scatters light outside the planet disk."""

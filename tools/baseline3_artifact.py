@@ -25,7 +25,7 @@ sys.path.insert(0, ROOT)
 REF_MOLECULES = "/root/reference/dat/molecules"
 
 
-def unscattered_oracle_flux(atm, wl, distance, n_mu=24, n_r=8):
+def unscattered_oracle_flux(atm, wl, distance, n_mu=96, n_r=16):
     """Deterministic unscattered emergent flux toward the detector
     [W m-2 m-1]: sum over cells of L_cell * <e^-tau(p->detector)> / (4 pi
     d^2), the no-scattering limit of the thermal transport (albedo at these
@@ -177,26 +177,30 @@ def main():
         emergent = float(res.flux_exit)
         e_pack = res.prep.emissivity_total / packages
         detected = float(res.detector[..., 0, 0].sum())  # I [W m-2 m-1]
-        lum_detected = detected * 4.0 * np.pi * cfg.distance_planet ** 2
-        lum_emergent = emergent * e_pack
-        lum_emitted = emitted * e_pack
+        # conservation oracle: the deterministic unscattered emergent flux
+        # integral of the same emission field (albedo here is ~2e-3, so the
+        # scattered excess is below the tolerance)
+        oracle = unscattered_oracle_flux(atm, wl, cfg.distance_planet)
+        albedo_max = float(atm.albedo[:, 0, 0, wl].max())
         rows.append({
+            "albedo_max": albedo_max,
             "wavelength_um": float(atm.wavelengths[wl] * 1e6),
             "photons_per_s": packages / dt,
             "seconds": dt,
-            "emitted_minus_emergent_frac":
-                (emitted - emergent) / max(emitted, 1e-300),
-            "luminosity_emitted_W_per_m": lum_emitted,
-            "luminosity_emergent_W_per_m": lum_emergent,
-            "luminosity_detected_W_per_m": lum_detected,
-            "detected_over_emergent": lum_detected / max(lum_emergent, 1e-300),
+            "flux_emitted_tally": emitted,
+            "flux_emergent_tally": emergent,
+            "luminosity_emitted_W_per_m": emitted * e_pack,
+            "luminosity_emergent_W_per_m": emergent * e_pack,
+            "detected_flux_W_m2_per_m": detected,
+            "oracle_flux_W_m2_per_m": oracle,
+            "detected_over_oracle": detected / max(oracle, 1e-300),
             "cell_depth": res.cell_depth,
             "n_error": res.n_error,
         })
         n_err += res.n_error
         print(f"wl {atm.wavelengths[wl]*1e6:7.3f} um: "
               f"{packages/dt/1e6:8.2f}M photons/s  "
-              f"detected/emergent {rows[-1]['detected_over_emergent']:.4f}",
+              f"detected/oracle {rows[-1]['detected_over_oracle']:.4f}",
               flush=True)
 
     rates = [r["photons_per_s"] for r in rows]
@@ -219,8 +223,25 @@ def main():
             "max": float(np.max(rates)),
         },
         "conservation": {
-            "worst_detected_over_emergent_dev": float(np.max(np.abs(
-                [r["detected_over_emergent"] - 1.0 for r in rows]))),
+            "check": "MC detected flux vs deterministic unscattered-emission "
+                     "integral (energy oracle; see unscattered_oracle_flux). "
+                     "Scattering ADDS detected flux beyond the unscattered "
+                     "oracle by up to ~1.5x the max single-scattering albedo "
+                     "(Rayleigh windows at short wavelengths), so the "
+                     "per-wavelength allowance scales with albedo.",
+            "worst_excess_beyond_albedo_allowance": float(np.max(
+                [(r["detected_over_oracle"] - 1.0)
+                 - 1.5 * r["albedo_max"] for r in rows])),
+            "worst_deficit": float(np.min(
+                [r["detected_over_oracle"] - 1.0 for r in rows])),
+            "tolerance": "ratio-1 in [-tol, 1.5*albedo_max + tol], "
+                         "tol = max(5/sqrt(N), 0.005 quadrature floor)",
+            "pass": bool(
+                np.max([(r["detected_over_oracle"] - 1.0)
+                        - 1.5 * r["albedo_max"] for r in rows])
+                < max(5.0 / np.sqrt(packages), 0.005)
+                and np.min([r["detected_over_oracle"] - 1.0 for r in rows])
+                > -max(5.0 / np.sqrt(packages), 0.005)),
             "mc_error_scale": 1.0 / np.sqrt(packages),
         },
         "n_error_total": n_err,
@@ -232,8 +253,8 @@ def main():
         json.dump(result, fh, indent=1)
     print("median throughput: "
           f"{result['throughput_photons_per_s']['median']/1e6:.2f}M photons/s"
-          f" on {backend}; worst conservation dev "
-          f"{result['conservation']['worst_detected_over_emergent_dev']:.2e}")
+          f" on {backend}; conservation pass="
+          f"{result['conservation']['pass']}")
     print("written:", out)
 
 
