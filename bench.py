@@ -131,6 +131,23 @@ if use_pallas39:
 else:
     tp39, n_err39, counts_eq = 0.0, -1, False
 
+# thermal source (BASELINE #3 kernel class): emissivity-CDF emission,
+# birth peel, flux bookkeeping
+atm_t = presets.thermal_shell(tau_abs=0.8, nr=4)
+cfg_t = ArtesConfig()
+cfg_t.mode = "spectrum"
+cfg_t.photon_source = "planet"
+det_t = detector_setup(cfg_t, float(atm_t.rfront[-1]))
+static_t = _kernel_static(cfg_t, det_t, atm_t, False)
+prep_t = build_tables(atm_t, cfg_t, det_t, 0, dtype=dtype)
+if pallas_stream.supports(prep_t.tables, static_t) and platform != "cpu":
+    tp_th, _, (_, n_err_t, _) = measure(pallas_stream.run_stream_pallas,
+                                        static_t, prep_t,
+                                        min(n_photons, 1 << 27), 17,
+                                        PALLAS_WIDTH)
+else:
+    tp_th, n_err_t = 0.0, -1
+
 static_i, prep_i = setup("imaging_mono", npix=25)
 use_pallas_i = pallas_stream.supports(prep_i.tables, static_i) and platform != "cpu"
 if use_pallas_i:
@@ -151,6 +168,8 @@ print(json.dumps({
     "hydrostatic39_throughput": tp39,
     "hydrostatic39_counts_equal": counts_eq,
     "hydrostatic39_n_error": n_err39,
+    "thermal_throughput": tp_th,
+    "thermal_n_error": n_err_t,
     "detector_I_raw": float(np.asarray(out["detector"], np.float64)[:, 0, 0].sum()),
     "device": str(jax.devices()[0]),
     "n_error": n_err,
@@ -211,6 +230,7 @@ def main():
         "hydrostatic39_throughput": result.get("hydrostatic39_throughput", 0.0),
         "hydrostatic39_counts_equal": result.get("hydrostatic39_counts_equal"),
         "hydrostatic39_n_error": result.get("hydrostatic39_n_error"),
+        "thermal_throughput": result.get("thermal_throughput", 0.0),
         "detector_I_raw": result["detector_I_raw"],
         "device": result["device"],
         "n_error": result["n_error"],
