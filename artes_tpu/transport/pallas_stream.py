@@ -13,10 +13,14 @@ state lives in VMEM, eliminating the HBM round-trips. Measured on TPU v5e
 Semantics: bit-identical photon streams to ``run_stream`` (same hand-rolled
 threefry2x32, same per-lane event-history draw-site schedule, same geometry
 and Mueller algebra re-derived in structure-of-arrays form); detector splat
-counts are bit-equal, moments differ only by f32 evaluation order (3-D
-cone/plane quadratics amplify FMA-contraction differences on near-tangent
-peel chords, so 3-D moments carry ~1e-2-relative f32 geometry noise — still
-far below MC error). One known count-level caveat: phi cell binning uses an
+counts are bit-equal and moments differ only by f32 evaluation order when
+both kernels compile through a common compiler — the contract the CPU
+interpreter-mode parity suite pins. Across INDEPENDENT compilers (XLA-TPU
+vs Mosaic on hardware), f32 FMA-contraction choices differ, which flips a
+small fraction of trajectories (~0.06% of flagship photons; detector I
+agrees at the MC-noise level, rel ~5e-5 at 2^16 photons) and adds
+~1e-2-relative noise to 3-D moments (near-tangent cone/plane chords
+amplify the ulps) — all far below MC error. One known count-level caveat: phi cell binning uses an
 ``_acos`` polynomial (Mosaic has no arctan2) while the XLA kernel uses
 arctan2, so a photon healed/located within ~1e-7 of a phi face can bin to
 the neighbouring cell and diverge — never observed in the parity suites,

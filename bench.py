@@ -121,15 +121,24 @@ if use_pallas39:
     n39 = min(n_photons, 1 << 26)
     tp39, out39, (_, n_err39, _) = measure(
         pallas_stream.run_stream_pallas, static39, prep39, n39, 31, PALLAS_WIDTH)
+    # cross-kernel agreement at matched photon count. Bit-equal counts are
+    # only guaranteed when both kernels compile through the SAME compiler
+    # (the CPU interpret parity suite); on TPU, XLA vs Mosaic make different
+    # f32 FMA choices, and on km-thin shells the chord-root cancellation
+    # turns those ulps into rare trajectory flips — so the hardware check is
+    # statistical: a handful of flipped counts and MC-noise-level I drift.
     n_small = 1 << 16
     o_p = pallas_stream.run_stream_pallas(prep39.tables, static39, n_small, 7,
                                           PALLAS_WIDTH)
     o_x = run_stream(prep39.tables, static39, n_small, 7, 1 << 14)
-    counts_eq = bool(np.array_equal(
-        np.asarray(o_p["detector"], np.float64)[..., 2],
-        np.asarray(o_x["detector"], np.float64)[..., 2]))
+    c_p = np.asarray(o_p["detector"], np.float64)[..., 2]
+    c_x = np.asarray(o_x["detector"], np.float64)[..., 2]
+    counts_maxdiff = int(np.abs(c_p - c_x).max())
+    i_p = float(np.asarray(o_p["detector"], np.float64)[0, 0, 0])
+    i_x = float(np.asarray(o_x["detector"], np.float64)[0, 0, 0])
+    agree39 = abs(i_p - i_x) / abs(i_x)
 else:
-    tp39, n_err39, counts_eq = 0.0, -1, False
+    tp39, n_err39, counts_maxdiff, agree39 = 0.0, -1, -1, -1.0
 
 # thermal source (BASELINE #3 kernel class): emissivity-CDF emission,
 # birth peel, flux bookkeeping
@@ -166,7 +175,8 @@ print(json.dumps({
     "pallas_vs_xla_I_rel": agree,
     "imaging_throughput": tp_img,
     "hydrostatic39_throughput": tp39,
-    "hydrostatic39_counts_equal": counts_eq,
+    "hydrostatic39_counts_maxdiff": counts_maxdiff,
+    "hydrostatic39_I_rel_vs_xla": agree39,
     "hydrostatic39_n_error": n_err39,
     "thermal_throughput": tp_th,
     "thermal_n_error": n_err_t,
@@ -228,7 +238,8 @@ def main():
         "pallas_vs_xla_I_rel": result["pallas_vs_xla_I_rel"],
         "imaging_throughput_25px": result["imaging_throughput"],
         "hydrostatic39_throughput": result.get("hydrostatic39_throughput", 0.0),
-        "hydrostatic39_counts_equal": result.get("hydrostatic39_counts_equal"),
+        "hydrostatic39_counts_maxdiff": result.get("hydrostatic39_counts_maxdiff"),
+        "hydrostatic39_I_rel_vs_xla": result.get("hydrostatic39_I_rel_vs_xla"),
         "hydrostatic39_n_error": result.get("hydrostatic39_n_error"),
         "thermal_throughput": result.get("thermal_throughput", 0.0),
         "detector_I_raw": result["detector_I_raw"],
