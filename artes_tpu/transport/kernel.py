@@ -1082,6 +1082,9 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
     thermal = static.photon_source == 2
     u32 = jnp.uint32
     fresh_stage = STAGE_BIRTH_PEEL if thermal else STAGE_PREWALK
+    # closed-form radial: the prewalk fuses into the refill round (see the
+    # FUSED block in body), shortening photon lifetime by one pool round
+    fused = RAD.use_closed_form(t.grid, static)
 
     ncell_flow = t.opacity.shape[0] if static.track_flow else 1
     n_photons = jnp.asarray(n_photons, u32)
@@ -1205,13 +1208,34 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
             n_anom = c["n_stokes_anomaly"]
         n_scat = n_scat + live_surv.astype(jnp.int32)
 
+        # ---- FUSED prewalk (closed-form radial only): the tau walk
+        # resolves the fresh lanes' prewalk IN THIS ROUND, so they march
+        # their forced first interaction immediately — photon lifetime
+        # drops from 2+n_scat to 1+n_scat pool rounds. The draw-site
+        # mapping is unchanged (the forced-tau site is consumed one round
+        # earlier at the same site index). ----
+        if fused:
+            peel_dir = jnp.where(nb1[:, None], dirn, det_dir_b)
+            a2_, b2_, c2_, rf_, kx_, rfl_, peps_ = _radial_lists(t)
+            pw = RAD.tau_walk(a2_, b2_, c2_, rf_, kx_, rfl_, peps_,
+                              pos[..., 0], pos[..., 1], pos[..., 2],
+                              peel_dir[..., 0], peel_dir[..., 1],
+                              peel_dir[..., 2])
+            peel = {"tau": pw["tau"], "exited": pw["exited"],
+                    "surface": pw["surface"], "error": pw["err"]}
+            tau_first = jnp.where(nb1, peel["tau"], tau_first)
+            pre_surface = jnp.where(nb1, peel["surface"], pre_surface)
+            fwx = fw | nb1
+        else:
+            fwx = fw
+
         # ---- optical depth: sampled (LIVE) or forced-first (FIRST_WALK,
         # ARTES.f90:675-684) ----
         u_tau = jnp.where(live, d4, d0)
         thin = tau_first < 1.0e-6
-        fw_drop = fw & thin & ~pre_surface      # vacuum, no surface (:660-664)
+        fw_drop = fwx & thin & ~pre_surface     # vacuum, no surface (:660-664)
         stage = jnp.where(fw_drop, STAGE_DEAD, stage)
-        fw_go = fw & ~fw_drop
+        fw_go = fwx & ~fw_drop
         forced = fw_go & ~thin & (tau_first < 50.0)
         one_m_exp = 1.0 - jnp.exp(-tau_first)
         tau = jnp.where(forced,
@@ -1219,18 +1243,23 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
                         -jnp.log(1.0 - u_tau))
         stokes = jnp.where(forced[:, None], stokes * one_m_exp[:, None], stokes)
         counter = counter + jnp.where(live, u32(5), u32(0)) \
-            + jnp.where(fw, u32(1), u32(0))
+            + jnp.where(fwx, u32(1), u32(0))
 
         # ---- merged march: transport half = LIVE/FIRST_WALK lanes; peel
         # half = scatter peel (LIVE), birth peel (BIRTH_PEEL), forced-first
         # prewalk (PREWALK, along the photon direction) ----
         active_t = live_surv | fw_go
-        peel_active = live_surv | nb0 | nb1
-        peel_dir = jnp.where(nb1[:, None], dirn, det_dir_b)
-        m_out, counter, peel = _march(
-            t, static, keys, counter, pos, dirn_t, cell, face, stokes, tau,
-            active_t, detector, c["flow_g"], c["flow_t"], merged_peel=True,
-            peel_dir=peel_dir, peel_active=peel_active)
+        if fused:
+            m_out, counter = _march(
+                t, static, keys, counter, pos, dirn_t, cell, face, stokes,
+                tau, active_t, detector, c["flow_g"], c["flow_t"])
+        else:
+            peel_active = live_surv | nb0 | nb1
+            peel_dir = jnp.where(nb1[:, None], dirn, det_dir_b)
+            m_out, counter, peel = _march(
+                t, static, keys, counter, pos, dirn_t, cell, face, stokes,
+                tau, active_t, detector, c["flow_g"], c["flow_t"],
+                merged_peel=True, peel_dir=peel_dir, peel_active=peel_active)
         detector = m_out["detector"]
 
         # scatter peel splat (ARTES.f90:4945-4984)
@@ -1273,13 +1302,16 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
             stage = jnp.where(nb0_err, STAGE_DEAD,
                               jnp.where(nb0, STAGE_PREWALK, stage))
 
-        # prewalk results -> FIRST_WALK (ARTES.f90:623-656)
-        tau_first = jnp.where(nb1, peel["tau"], tau_first)
-        pre_surface = jnp.where(nb1, peel["surface"], pre_surface)
+        # prewalk results -> FIRST_WALK (ARTES.f90:623-656); the fused path
+        # already folded the prewalk into this round's forced march, so its
+        # nb1 lanes transition through the generic outcome block below
         nb1_err = nb1 & peel["error"]
         n_error = n_error + jnp.sum(nb1_err, dtype=jnp.int32)
-        stage = jnp.where(nb1_err, STAGE_DEAD,
-                          jnp.where(nb1, STAGE_FIRST_WALK, stage))
+        if not fused:
+            tau_first = jnp.where(nb1, peel["tau"], tau_first)
+            pre_surface = jnp.where(nb1, peel["surface"], pre_surface)
+            stage = jnp.where(nb1_err, STAGE_DEAD,
+                              jnp.where(nb1, STAGE_FIRST_WALK, stage))
 
         # transport outcomes + per-code tallies (031/032/034/peel)
         terr = m_out["error"] & active_t

@@ -1391,12 +1391,28 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             tdz = jnp.where(live_surv, ndz, dz)
             n_scat = n_scat + live_surv.astype(i32)
 
+            # ---- FUSED prewalk (closed-form radial only, mirrors
+            # kernel.py): the tau walk resolves fresh lanes' prewalk in this
+            # round, so they march their forced first interaction
+            # immediately — one pool round less per photon ----
+            if RADIAL:
+                pdx = jnp.where(nb1, dx, ddx)
+                pdy = jnp.where(nb1, dy, ddy)
+                pdz = jnp.where(nb1, dz, ddz)
+                peel = tau_walk(px, py, pz, pdx, pdy, pdz, cr, ct, cp,
+                                fax, fidx, zb)
+                tau_first = jnp.where(nb1, peel["tau"], tau_first)
+                pre_surface = (nb1 & peel["surface"]) | (~nb1 & pre_surface)
+                fwx = fw | nb1
+            else:
+                fwx = fw
+
             # ---- optical depth: sampled (LIVE) / forced-first (FIRST_WALK) ----
             u_tau = jnp.where(live, d4, d0)
             thin = tau_first < 1.0e-6
-            fw_drop = fw & thin & ~pre_surface
+            fw_drop = fwx & thin & ~pre_surface
             stage = jnp.where(fw_drop, STAGE_DEAD, stage)
-            fw_go = fw & ~fw_drop
+            fw_go = fwx & ~fw_drop
             forced = fw_go & ~thin & (tau_first < 50.0)
             one_m_exp = 1.0 - jnp.exp(-tau_first)
             tau = jnp.where(forced,
@@ -1407,7 +1423,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             sU = jnp.where(forced, sU * one_m_exp, sU)
             sV = jnp.where(forced, sV * one_m_exp, sV)
             ctr = ctr + jnp.where(live, u32(5), u32(0)) \
-                + jnp.where(fw, u32(1), u32(0))
+                + jnp.where(fwx, u32(1), u32(0))
 
             # ---- transport march (SURF lanes resume with their remaining
             # tau budget, consuming no new draw sites) ----
@@ -1420,17 +1436,19 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             ctr = m_out["ctr"]
 
             # ---- peel/prewalk walk (scatter peel along det dir; prewalk
-            # along the photon's own direction; birth peel along det dir) ----
-            peel_active = live_surv | nb1
-            if spec.thermal:
-                peel_active = peel_active | nb0
-            if spec.surface:
-                peel_active = peel_active | surf
-            pdx = jnp.where(nb1, dx, ddx)
-            pdy = jnp.where(nb1, dy, ddy)
-            pdz = jnp.where(nb1, dz, ddz)
-            peel = tau_walk(px, py, pz, pdx, pdy, pdz, cr, ct, cp,
-                            fax, fidx, peel_active)
+            # along the photon's own direction; birth peel along det dir).
+            # The RADIAL path already ran it in the fused block above. ----
+            if not RADIAL:
+                peel_active = live_surv | nb1
+                if spec.thermal:
+                    peel_active = peel_active | nb0
+                if spec.surface:
+                    peel_active = peel_active | surf
+                pdx = jnp.where(nb1, dx, ddx)
+                pdy = jnp.where(nb1, dy, ddy)
+                pdz = jnp.where(nb1, dz, ddz)
+                peel = tau_walk(px, py, pz, pdx, pdy, pdz, cr, ct, cp,
+                                fax, fidx, peel_active)
 
             # scatter-peel splat: in-kernel accumulators (single pixel) or
             # per-round records for the XLA flush (segmented multi-pixel).
@@ -1505,12 +1523,15 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 stage = jnp.where(nb0_err, STAGE_DEAD,
                                   jnp.where(nb0, STAGE_PREWALK, stage))
 
-            # ---- prewalk results -> FIRST_WALK ----
-            tau_first = jnp.where(nb1, peel["tau"], tau_first)
-            pre_surface = (nb1 & peel["surface"]) | (~nb1 & pre_surface)
+            # ---- prewalk results -> FIRST_WALK (non-fused only; the
+            # fused path's nb1 lanes transition through the generic
+            # outcome block) ----
             nb1_err = nb1 & peel["err"]
-            stage = jnp.where(nb1_err, STAGE_DEAD,
-                              jnp.where(nb1, STAGE_FIRST_WALK, stage))
+            if not RADIAL:
+                tau_first = jnp.where(nb1, peel["tau"], tau_first)
+                pre_surface = (nb1 & peel["surface"]) | (~nb1 & pre_surface)
+                stage = jnp.where(nb1_err, STAGE_DEAD,
+                                  jnp.where(nb1, STAGE_FIRST_WALK, stage))
 
             # ---- transport outcomes + per-code tallies ----
             terr = m_out["err"] & active_t
