@@ -1,4 +1,5 @@
 import time, sys
+import sys; sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
 import jax, jax.numpy as jnp, numpy as np
 from artes_tpu import presets
 from artes_tpu.config import ArtesConfig, detector_setup
