@@ -130,10 +130,9 @@ def march(a2, b2, c2, rf, kx, rf_floor, pos_eps,
     nr = len(rf) - 1
     e, h, surface_hit, s_surf = ray_chords(a2, b2, c2, rf, rf_floor,
                                            pos_eps, px, py, pz, dx, dy, dz)
-    zf = px - px
-    cum = zf
+    cum = jnp.zeros_like(px)
     inter = jnp.zeros_like(surface_hit)
-    s_stop = zf
+    s_stop = jnp.zeros_like(px)
     cr_stop = jnp.zeros(px.shape, i32)
     for m in range(nr - 1, -1, -1):       # inbound segments, path order
         start = jnp.minimum(e[m + 1], s_surf)
@@ -158,5 +157,5 @@ def march(a2, b2, c2, rf, kx, rf_floor, pos_eps,
         inter = inter | hit
         cum = c_new
     exited = active & ~inter & ~surface
-    return dict(s_stop=s_stop, cr=cr_stop, inter=inter & active,
+    return dict(s_stop=s_stop, cr=cr_stop, inter=inter,
                 exited=exited, surface=surface, tau_surf=tau_surf)

@@ -71,6 +71,7 @@ def test_rayleigh_polarization_peak_at_quadrature():
     assert dop[90.0] > dop[150.0] > -0.05
 
 
+@pytest.mark.slow
 def test_hg_cloud_forward_scattering_phase_curve():
     """BASELINE config #2 shape: a g=0.8 HG cloud deck brightens strongly
     toward forward-scattering phase angles."""

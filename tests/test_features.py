@@ -87,6 +87,7 @@ def test_oblate_image_wider_than_tall():
     assert flux_ratio == pytest.approx(1.0 / 0.7, rel=0.1)
 
 
+@pytest.mark.slow
 def test_thermal_biased_emission_unbiased_estimator():
     """Biased upward emission (Gordon 1987) must reproduce the isotropic
     detector flux: the bias weight cancels in expectation
@@ -165,6 +166,7 @@ def test_imaging_broad_accumulates(tmp_path):
     assert len(tallies) == 2
 
 
+@pytest.mark.slow
 def test_phase_curve_mode(monkeypatch, tmp_path):
     """Phase mode plumbing on a trimmed angle list; flux falls from full
     phase toward crescent and the phase.dat rows are written."""

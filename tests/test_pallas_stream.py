@@ -461,3 +461,20 @@ def test_pallas_large_detector():
     static = _kernel_static(cfg, det, atm, False)
     prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
     assert not P.supports(prep.tables, static)
+
+
+@pytest.mark.slow
+def test_pallas_oblate_closed_form():
+    """Oblateness through the closed-form radial transport: the shell
+    chords run in transformed coordinates (a x, b y, c z), and the two
+    kernels must stay stream-compatible (ARTES.f90 oblate scalings
+    :2838-2840)."""
+    atm = presets.rayleigh_single_layer(tau=3.0, nr=3)
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    cfg.oblateness = 0.3
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    assert P.supports(prep.tables, static)
+    _compare(static, prep, n=384, width=256, seed=29)
