@@ -65,7 +65,7 @@ def setup(mode, npix=25):
 # scalar to the host is the only reliable fence, so every timing below ends
 # with a float() fetch.
 
-def measure(kern, static, prep, n, seed0, w, reps=3):
+def measure(kern, static, prep, n, seed0, w, reps=4):
     out = kern(prep.tables, static, n, seed0, w)
     _ = float(jnp.sum(out["detector"]))  # warm-up + compile fence
     best = None
