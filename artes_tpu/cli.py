@@ -117,13 +117,15 @@ def run_main(argv=None):
     n_error = 0
     n_capped = 0
     n_anomaly = 0
+    n_runs = 0
     error_codes = np.zeros(4, np.int64)
     error_records = []
 
     def _rec(res):
-        nonlocal n_capped, n_anomaly
+        nonlocal n_capped, n_anomaly, n_runs
         n_capped += res.n_alive_at_cap
         n_anomaly += getattr(res, "n_stokes_anomaly", 0)
+        n_runs += 1
         if len(error_records) < 16 and getattr(res, "error_records", None) is not None:
             error_records.extend(list(res.error_records))
 
@@ -220,7 +222,9 @@ def run_main(argv=None):
         if n_anomaly:
             entries.append(("050/stokes anomaly", n_anomaly))
         out.write_error_log(dirs, entries, error_records[:16])
-    report.truncation(n_capped, packages, cfg.max_scatter)
+    # n_capped sums over every run (wavelength / phase angle), so the
+    # denominator is the TOTAL emitted count, not one run's package count
+    report.truncation(n_capped, packages * max(n_runs, 1), cfg.max_scatter)
     report.stage4(n_error)
     out.send_completion_email(cfg, args.output)
     return 0

@@ -1196,7 +1196,8 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         if static.debug_stokes:
             # error 050 (ARTES.f90:830-835): I^2 < Q^2+U^2+V^2 after the
             # Mueller update is an unphysical polarization state — abandon
-            # the photon (the reference cycles it) and tally separately
+            # the photon (the reference also abandons it: sets cell_error
+            # and exits the scattering loop) and tally separately
             anom = live_surv & (stokes[:, 0] ** 2 * (1.0 + 1.0e-6)
                                 < jnp.sum(stokes[:, 1:] ** 2, axis=-1))
             n_anom = c["n_stokes_anomaly"] + jnp.sum(anom, dtype=jnp.int32)

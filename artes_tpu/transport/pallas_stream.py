@@ -164,6 +164,11 @@ class MixTables:
 
 
 def _dedupe_mixtures(tables) -> MixTables:
+    # memoized on the tables object: supports() and make_spec() both need
+    # the dedup, and the np.unique over an (ncell, ~3.7k) key is not free
+    memo = getattr(tables, "_mix_memo", None)
+    if memo is not None:
+        return memo
     ncell = tables.grid.nr * tables.grid.ntheta * tables.grid.nphi
     scat = np.asarray(tables.scatter_rows, np.float32)       # (ncell*180, 16)
     prefix = np.asarray(tables.alpha_prefix, np.float32)     # (ncell, 4, 181)
@@ -172,13 +177,18 @@ def _dedupe_mixtures(tables) -> MixTables:
                           prefix.reshape(ncell, -1), pint], axis=1)
     uniq, inv = np.unique(key, axis=0, return_inverse=True)
     nm = uniq.shape[0]
-    return MixTables(
+    mt = MixTables(
         mix=inv.astype(np.int32).reshape(-1),
         scatter_rows=uniq[:, :180 * 16].reshape(nm * 180, 16),
         alpha_prefix=uniq[:, 180 * 16:180 * 16 + 4 * 181].reshape(nm, 4, 181),
         p_int=uniq[:, -4:].reshape(nm, 4),
         distinct=(),
     )
+    try:
+        tables._mix_memo = mt
+    except Exception:
+        pass
+    return mt
 
 
 def _column_reps(scat: np.ndarray):

@@ -74,17 +74,30 @@ def ray_chords(a2, b2, c2, rf, rf_floor, pos_eps, px, py, pz, dx, dy, dz):
     Cq = a2 * px * px + b2 * py * py + c2 * pz * pz
     inv_a = 1.0 / A
     mb = -Bq * inv_a                      # perigee parameter
+    sgn_b = jnp.where(Bq >= 0.0, 1.0, -1.0)
+
+    def roots(r_face):
+        # stable q-form roots: the naive (-B ± sqrt)/A cancels
+        # catastrophically for grazing chords on thin shells in f32;
+        # q = -(B + sign(B) sqrt(disc)) gives roots q/A and C'/q with
+        # full relative accuracy (|q| >= sqrt(disc) > 0 whenever ok)
+        Cj = Cq - r_face * r_face
+        disc = Bq * Bq - A * Cj
+        ok = disc > 0.0
+        q = -(Bq + sgn_b * jnp.sqrt(jnp.where(ok, disc, 0.0)))
+        r1 = q * inv_a
+        r2 = Cj / jnp.where(q == 0.0, 1.0, q)
+        lo = jnp.where(ok, jnp.minimum(r1, r2), mb)
+        hi = jnp.where(ok, jnp.maximum(r1, r2), mb)
+        return lo, hi, ok
+
     e = [None] * (nr + 1)
     h = [None] * (nr + 1)
     for j in range(nr + 1):
-        disc = Bq * Bq - A * (Cq - rf[j] * rf[j])
-        ok = disc > 0.0
-        sq = jnp.sqrt(jnp.where(ok, disc, 0.0)) * inv_a
-        e[j] = jnp.maximum(jnp.where(ok, mb - sq, mb), 0.0)
-        h[j] = jnp.maximum(jnp.where(ok, mb + sq, mb), 0.0)
-    disc_f = Bq * Bq - A * (Cq - rf_floor * rf_floor)
-    ok_f = disc_f > 0.0
-    lo_f = mb - jnp.sqrt(jnp.where(ok_f, disc_f, 0.0)) * inv_a
+        lo, hi, _ = roots(rf[j])
+        e[j] = jnp.maximum(lo, 0.0)
+        h[j] = jnp.maximum(hi, 0.0)
+    lo_f, _, ok_f = roots(rf_floor)
     # the pos_eps guard keeps lanes starting ON the floor (moving outward,
     # lo ~ -0) from re-triggering a zero-distance surface hit
     surface_hit = ok_f & (lo_f > pos_eps)

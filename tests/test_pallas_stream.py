@@ -287,6 +287,22 @@ def _graded(preset_fn, nr, **kw):
     return atm
 
 
+def test_pallas_graded_closed_form_fast():
+    """Fast-suite regression tripwire for the closed-form radial path
+    (ADVICE r4): a graded multi-shell grid small enough to compile quickly
+    in interpreter mode, exercising the same radial.py walks as nr=39."""
+    atm = _graded(presets.rayleigh_single_layer, 6, tau=4.0)
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    assert P.supports(prep.tables, static)
+    spec, mt = P.make_spec(prep.tables, static)
+    assert spec.cell_depth == 0     # closed-form: floor is a runtime scalar
+    _compare(static, prep, n=384, width=256, seed=3)
+
+
 @pytest.mark.slow
 def test_pallas_large_grid_nr39():
     """nr=39 — the repo's own ptprofile.isothermal() default (40 levels).
@@ -306,10 +322,12 @@ def test_pallas_large_grid_nr39():
     _compare(static, prep, n=384, width=256, seed=3)
 
 
-@pytest.mark.slow
 def test_pallas_mixture_dedup_two_species():
     """Two scattering species in different layers -> n_mix=2: the per-cell
-    matrix/CDF tables must gather by mixture id, not cell id."""
+    matrix/CDF tables must gather by mixture id, not cell id.
+
+    Fast-suite regression tripwire for the mixture-dedup machinery (ADVICE
+    r4)."""
     from artes_tpu.opacity import henyey_greenstein
 
     atm = presets.rayleigh_single_layer(tau=2.0, nr=8)
