@@ -100,15 +100,20 @@ def run_main(argv=None):
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     dispatch = None
+    mesh = None
     if args.mesh:
         from artes_tpu.parallel import make_mesh, round_up_batch, sharded_dispatch
         import jax
         mesh = make_mesh()
+        # the runner fans the PRODUCTION Pallas kernel out over the mesh on
+        # supported configs; the run_batch shard_map is the fallback for
+        # configs the Pallas kernel does not cover (flow, f64, debug-stokes)
         dispatch = sharded_dispatch(mesh)
         args.batch_size = round_up_batch(args.batch_size, mesh.devices.size)
 
     kw = dict(seed=args.seed, batch_size=args.batch_size, dtype=dtype,
-              dispatch=dispatch, progress=sys.stderr.isatty() or args.progress)
+              dispatch=dispatch, mesh=mesh,
+              progress=sys.stderr.isatty() or args.progress)
 
     det = detector_setup(cfg, float(atm.rfront[-1]))
     report = out.RunReport(dirs, cfg.log_file)

@@ -1,1 +1,2 @@
-from artes_tpu.parallel.mesh import make_mesh, sharded_dispatch  # noqa: F401
+from artes_tpu.parallel.mesh import (make_mesh, round_up_batch,  # noqa: F401
+                                     sharded_dispatch)

@@ -111,7 +111,7 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
                    packages: int, seed: int = 0, batch_size: int = 1 << 17,
                    dtype=jnp.float64, crescent: bool = False,
                    dispatch=None, use_pallas: bool | None = None,
-                   progress: bool = False) -> WavelengthResult:
+                   mesh=None, progress: bool = False) -> WavelengthResult:
     """Transport ``packages`` photons at one wavelength.
 
     ``dispatch(tables, static, photon_ids, seed)`` may be supplied to run the
@@ -119,9 +119,23 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
     fused Pallas pool kernel when it covers the config (``use_pallas=None``,
     the production TPU path) with the XLA regeneration kernel as fallback.
     ``use_pallas=False`` forces the XLA kernel; ``True`` raises if unsupported.
+    ``mesh`` (a 1-D ``jax.sharding.Mesh``) fans the PRODUCTION Pallas kernel
+    out over local devices (per-device contiguous id sub-ranges, psum
+    tallies); on configs the Pallas kernel does not cover, the run falls back
+    to ``dispatch`` (the run_batch shard_map) when supplied.
     """
     prep = build_tables(atm, cfg, det, wl_index, dtype=dtype)
     static = _kernel_static(cfg, det, atm, crescent)
+
+    if mesh is not None and mesh.devices.size > 1 and use_pallas is not False:
+        import jax
+        if (jax.default_backend() == "tpu"
+                and pallas_stream.supports(prep.tables, static)):
+            # production multi-chip path: the Pallas pool kernel itself is
+            # fanned out — do NOT drop to the run_batch dispatch
+            dispatch = None
+        else:
+            mesh = None
 
     npix = det.nx * det.ny
     detector = np.zeros((npix, 4, 3), np.float64)
@@ -169,7 +183,14 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
         # mapping is independent of how the run is chunked (the reference's
         # integer(16) package counter, ARTES.f90:26, :4254). Chunk starts are
         # 2^30-aligned, so a chunk never straddles a 2^32 id boundary.
-        kern = pallas_stream.run_stream_pallas if use_pallas else run_stream
+        if use_pallas and mesh is not None and mesh.devices.size > 1:
+            import functools
+            kern = functools.partial(pallas_stream.run_stream_pallas_mesh,
+                                     mesh=mesh)
+        elif use_pallas:
+            kern = pallas_stream.run_stream_pallas
+        else:
+            kern = run_stream
         # the chunking is semantics-free (continuous global photon ids), so
         # progress mode splits the run into >=5 chunks for a host-side ticker
         # (the reference's 20/40/../100% lines, ARTES.f90:571-590)
@@ -325,7 +346,8 @@ def run_spectrum(atm, cfg, packages, seed=0, wavelength_batch=False,
     """
     det = detector_setup(cfg, float(atm.rfront[-1]))
     wls = list(range(atm.n_wavelength)) if wl_subset is None else list(wl_subset)
-    if wavelength_batch and len(wls) > 1 and kw.get("dispatch") is None:
+    if (wavelength_batch and len(wls) > 1 and kw.get("dispatch") is None
+            and kw.get("mesh") is None):
         return det, _run_wavelengths_vmapped(atm, cfg, det, packages, seed,
                                              wls=wls, **kw)
     results = []

@@ -1824,6 +1824,32 @@ def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
     return sf, si, coarse, gt
 
 
+def _unpack_pool_out(outf, outi):
+    """Result dict of the pool kernel from its (8,128) f32/i32 output tiles
+    (also valid for psum-reduced tiles from a device mesh: every entry is an
+    additive tally)."""
+    # splat counts: full scatter-peel counts on every component; thermal
+    # birth peels book component 0 only (kernel.py _splat first_only)
+    n_full = outi[0, 6].astype(f32)
+    counts = jnp.stack([n_full + outi[0, 10].astype(f32),
+                        n_full, n_full, n_full])
+    detector = jnp.stack([outf[0, :4], outf[0, 4:8], counts],
+                         axis=-1).reshape(1, 4, 3)
+    return {
+        "detector": detector,
+        "flow_global": jnp.zeros((1, 3), f32),
+        "flow_theta": jnp.zeros((1, 4), f32),
+        "flux_emitted": outf[0, 8],
+        "flux_exit": outf[0, 9],
+        "n_error": outi[0, 0],
+        "error_codes": jnp.stack([outi[0, 1], outi[0, 2], outi[0, 3],
+                                  outi[0, 4]]),
+        "n_alive_at_cap": outi[0, 5],
+        "n_emitted": outi[0, 7].astype(u32),
+        "n_rounds": outi[0, 8].astype(u32),
+    }
+
+
 def run_stream_pallas(tables, static, n_photons, seed, width: int,
                       id_hi=0, id_lo=0, interpret: bool = False):
     """Drop-in for :func:`kernel.run_stream` on supported configs.
@@ -1845,26 +1871,83 @@ def run_stream_pallas(tables, static, n_photons, seed, width: int,
                                        np.float32), -1))
     outf, outi = _get_fn(spec, width, interpret)(sf, si, coarse, gt,
                                                  lt_c, lt_r)
-    # splat counts: full scatter-peel counts on every component; thermal
-    # birth peels book component 0 only (kernel.py _splat first_only)
-    n_full = outi[0, 6].astype(f32)
-    counts = jnp.stack([n_full + outi[0, 10].astype(f32),
-                        n_full, n_full, n_full])
-    detector = jnp.stack([outf[0, :4], outf[0, 4:8], counts],
-                         axis=-1).reshape(1, 4, 3)
-    return {
-        "detector": detector,
-        "flow_global": jnp.zeros((1, 3), f32),
-        "flow_theta": jnp.zeros((1, 4), f32),
-        "flux_emitted": outf[0, 8],
-        "flux_exit": outf[0, 9],
-        "n_error": outi[0, 0],
-        "error_codes": jnp.stack([outi[0, 1], outi[0, 2], outi[0, 3],
-                                  outi[0, 4]]),
-        "n_alive_at_cap": outi[0, 5],
-        "n_emitted": outi[0, 7].astype(u32),
-        "n_rounds": outi[0, 8].astype(u32),
-    }
+    return _unpack_pool_out(outf, outi)
+
+
+def _device_si(n_photons, seed, id_hi, id_lo, n_dev):
+    """(n_dev, 3) u32 per-device [count, key_hi, id_lo]: contiguous id
+    sub-ranges of one chunk. The chunk never straddles a 2^32 id boundary
+    (runner chunking invariant), so every sub-range shares the hi word and
+    the (seed, id) -> stream mapping is independent of device count."""
+    from artes_tpu.transport import rng as R
+
+    n = int(n_photons)
+    base, rem = divmod(n, n_dev)
+    counts = np.asarray([base + (1 if d < rem else 0)
+                         for d in range(n_dev)], np.uint32)
+    starts = (np.concatenate([[0], np.cumsum(counts[:-1])])
+              + int(id_lo)).astype(np.uint32)
+    hi = jnp.broadcast_to(R.key_hi(seed, id_hi), (n_dev,)).astype(u32)
+    return jnp.stack([jnp.asarray(counts), hi, jnp.asarray(starts)], axis=1)
+
+
+def _get_mesh_fn(spec: PallasSpec, width: int, interpret: bool, mesh,
+                 axis: str):
+    """One jitted shard_map program running the pool kernel on every mesh
+    device with its own id sub-range, psum-reducing the tally tiles — a
+    single compile regardless of device count (committing inputs per device
+    would compile the kernel once per placement instead)."""
+    key = (spec, width, interpret, mesh, axis, "mesh")
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    import jax
+    from functools import partial as _partial
+    from jax.sharding import PartitionSpec as P
+
+    fn = _get_fn(spec, width, interpret)
+
+    @jax.jit
+    @_partial(jax.shard_map, mesh=mesh,
+              in_specs=(P(), P(axis), P(), P(), P(), P()),
+              out_specs=(P(), P()), check_vma=False)
+    def stepped(sf, si_dev, coarse, gt, lt_c, lt_r):
+        outf, outi = fn(sf, si_dev[0], coarse, gt, lt_c, lt_r)
+        return (jax.lax.psum(outf, axis), jax.lax.psum(outi, axis))
+
+    _FN_CACHE[key] = stepped
+    return stepped
+
+
+def run_stream_pallas_mesh(tables, static, n_photons, seed, width: int,
+                           id_hi=0, id_lo=0, *, mesh,
+                           axis_name: str = "photons",
+                           interpret: bool = False):
+    """Multi-device :func:`run_stream_pallas`: the production pool kernel
+    fanned out over a 1-D device mesh along the photon axis.
+
+    Each device runs the SAME compiled kernel on a contiguous sub-range of
+    the chunk's photon ids (the id — not the lane — keys the RNG, so the
+    result is device-count independent: splat counts bit-equal, moments
+    within f32 psum-order noise). The TPU-native analogue of the reference's
+    whole-engine OpenMP region (ARTES.f90:534-546) at chip granularity.
+    """
+    spec, mt = make_spec(tables, static)
+    if width % 128 != 0:
+        raise ValueError("width must be a multiple of 128")
+    n_dev = int(mesh.devices.size)
+    if spec.nx * spec.ny > 1:
+        return _run_segmented_mesh(tables, static, spec, mt, n_photons,
+                                   seed, width, mesh, axis_name,
+                                   id_hi, id_lo, interpret)
+    sf, _, coarse, gt = _pack_inputs(tables, spec, mt,
+                                     n_photons, seed, id_hi, id_lo)
+    si_dev = _device_si(n_photons, seed, id_hi, id_lo, n_dev)
+    lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
+    lt_r = jnp.asarray(np.tril(np.ones((width // 128, width // 128),
+                                       np.float32), -1))
+    stepped = _get_mesh_fn(spec, width, interpret, mesh, axis_name)
+    outf, outi = stepped(sf, si_dev, coarse, gt, lt_c, lt_r)
+    return _unpack_pool_out(outf, outi)
 
 
 def _init_state(width):
@@ -1986,6 +2069,74 @@ def _run_segmented(tables, static, spec, mt, n_photons, seed, width,
                        * (spec.max_scatter + 4) // SEG_ROUNDS + 2)
     det, tall, flux, rounds, n_emitted, done, segs = driver(
         sf, si0, coarse, gt, lt_c, lt_r, tuple(_init_state(width)),
+        jnp.asarray(max_segments, i32))
+    tall = np.asarray(tall, np.int64)
+    return {
+        "detector": det,
+        "flow_global": jnp.zeros((1, 3), f32),
+        "flow_theta": jnp.zeros((1, 4), f32),
+        "flux_emitted": flux[0],
+        "flux_exit": flux[1],
+        "n_error": int(tall[0]),
+        "error_codes": jnp.asarray([tall[1], tall[2], tall[3], tall[4]],
+                                   jnp.int32),
+        "n_alive_at_cap": int(tall[5]),
+        "n_emitted": int(n_emitted),
+        "n_rounds": int(rounds),
+    }
+
+
+def _get_mesh_driver(spec: PallasSpec, width: int, interpret: bool, mesh,
+                     axis: str):
+    """Sharded imaging driver: every device runs the full segmented driver
+    (its own while_loop over segments — per-device control flow is legal
+    under shard_map as long as no collectives sit inside it) on its id
+    sub-range; detector/tally outputs psum at the end."""
+    key = (spec, width, interpret, mesh, axis, "seg-mesh")
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+    import jax
+    from functools import partial as _partial
+    from jax.sharding import PartitionSpec as P
+
+    driver = _get_driver(spec, width, interpret)
+
+    @jax.jit
+    @_partial(jax.shard_map, mesh=mesh,
+              in_specs=(P(), P(axis), P(), P(), P(), P(), P(), P()),
+              out_specs=(P(),) * 6, check_vma=False)
+    def stepped(sf, si_dev, coarse, gt, lt_c, lt_r, state0, max_seg):
+        det, tall, flux, rounds, n_emitted, done, _segs = driver(
+            sf, si_dev[0], coarse, gt, lt_c, lt_r, state0, max_seg)
+
+        def ps(x):
+            return jax.lax.psum(x, axis)
+
+        return (ps(det), ps(tall), ps(flux), ps(rounds), ps(n_emitted),
+                ps(done.astype(jnp.int32)))
+
+    _FN_CACHE[key] = stepped
+    return stepped
+
+
+def _run_segmented_mesh(tables, static, spec, mt, n_photons, seed, width,
+                        mesh, axis, id_hi, id_lo, interpret):
+    """Multi-device imaging: segmented pool kernel + record flush per device,
+    detector psum over the mesh."""
+    n_dev = int(mesh.devices.size)
+    sf, _, coarse, gt = _pack_inputs(tables, spec, mt,
+                                     n_photons, seed, id_hi, id_lo)
+    si3 = _device_si(n_photons, seed, id_hi, id_lo, n_dev)     # (n_dev, 3)
+    si_dev = jnp.concatenate([si3, jnp.zeros((n_dev, 1), u32)], axis=1)
+    lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
+    lt_r = jnp.asarray(np.tril(np.ones((width // 128, width // 128),
+                                       np.float32), -1))
+    stepped = _get_mesh_driver(spec, width, interpret, mesh, axis)
+    n_max = -(-int(n_photons) // n_dev)
+    max_segments = int((n_max // width + 2)
+                       * (spec.max_scatter + 4) // SEG_ROUNDS + 2)
+    det, tall, flux, rounds, n_emitted, _n_done = stepped(
+        sf, si_dev, coarse, gt, lt_c, lt_r, tuple(_init_state(width)),
         jnp.asarray(max_segments, i32))
     tall = np.asarray(tall, np.int64)
     return {

@@ -61,3 +61,54 @@ def test_indivisible_batch_rejected(setup):
     static = _kernel_static(cfg, det, atm, False)
     with pytest.raises(ValueError):
         dispatch(prep.tables, static, jnp.arange(1001, dtype=jnp.uint32), 0)
+
+
+# ---------------------------------------------------------------------------
+# Production Pallas kernel over a device mesh (VERDICT r4 item 1): the pool
+# kernel itself is fanned out by id sub-range — counts bit-equal to the
+# single-device kernel, moments within f32 psum-order noise.
+# ---------------------------------------------------------------------------
+
+def _pallas_setup(cfg):
+    from artes_tpu.runner import _kernel_static
+    from artes_tpu.transport.tables import build_tables
+
+    atm = presets.rayleigh_single_layer(tau=2.0)
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    return prep, static
+
+
+def _mesh_compare(static, prep, n, seed, width, npix):
+    from artes_tpu.transport import pallas_stream as P
+
+    mesh = make_mesh()
+    ref = P.run_stream_pallas(prep.tables, static, n, seed, width,
+                              interpret=True)
+    out = P.run_stream_pallas_mesh(prep.tables, static, n, seed, width,
+                                   mesh=mesh, interpret=True)
+    dr = np.asarray(ref["detector"], np.float64)
+    do = np.asarray(out["detector"], np.float64)
+    np.testing.assert_array_equal(do[..., 2], dr[..., 2])
+    scale = max(float(np.abs(dr[..., 0]).max()), 1.0)
+    np.testing.assert_allclose(do[..., 0], dr[..., 0],
+                               rtol=2e-3, atol=2e-3 * scale)
+    assert int(out["n_emitted"]) == n
+    assert int(out["n_error"]) == int(ref["n_error"])
+
+
+def test_pallas_mesh_matches_single_device():
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    prep, static = _pallas_setup(cfg)
+    _mesh_compare(static, prep, n=555, seed=5, width=256, npix=1)
+
+
+@pytest.mark.slow
+def test_pallas_mesh_imaging_matches_single_device():
+    cfg = ArtesConfig()
+    cfg.mode = "imaging_mono"
+    cfg.npix = 5
+    prep, static = _pallas_setup(cfg)
+    _mesh_compare(static, prep, n=700, seed=7, width=256, npix=25)
