@@ -32,7 +32,7 @@ Scope (everything else falls back to ``run_stream``; see :func:`supports`):
 * stellar (incl. off-axis/crescent) and thermal (isotropic or Gordon-biased
   emission, birth peel, flux bookkeeping) sources, scattering on, no flow
   tracking,
-* full 3-D r/theta/phi grids up to nr<=128, ntheta/nphi<=64, 512 cells
+* full 3-D r/theta/phi grids up to nr<=128, ntheta/nphi<=64, 4096 cells
   (theta cones with nappe rejection, the z=0 plane face, phi half-planes
   with wraparound — the geometry of BASELINE #4's patchy zones;
   ARTES.f90:2800-3470), oblateness, up to 8 distinct scattering MIXTURES
@@ -138,7 +138,9 @@ class PallasSpec:
 MAX_NR = 128
 MAX_NTHETA = 64
 MAX_NPHI = 64
-MAX_NCELL = 512
+MAX_NCELL = 4096        # per-cell tables are 128-lane gather rows, so the
+                        # cost of a cell is VMEM rows + per-lookup chunk
+                        # selects, not per-round ALU (r5; r4 capped at 512)
 MAX_NMIX = 8            # distinct per-cell scattering mixtures
 MAX_DISTINCT = 12       # distinct scattering-matrix columns after dedup
 MAX_PIXELS = 16384

@@ -496,3 +496,21 @@ def test_pallas_oblate_closed_form():
     prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
     assert P.supports(prep.tables, static)
     _compare(static, prep, n=384, width=256, seed=29)
+
+
+@pytest.mark.slow
+def test_pallas_3d_beyond_512_cells():
+    """10x8x8 = 640 cells: beyond the r4 MAX_NCELL=512 cap (VERDICT r4
+    item 2). Per-cell tables are lane-gather rows, so the cap is VMEM rows,
+    not per-round ALU; counts stay bit-equal to the XLA kernel."""
+    th = tuple(np.linspace(0.0, 180.0, 9))
+    ph = tuple(np.linspace(0.0, 360.0, 9)[:-1])
+    atm = presets.patchy_3d(tau_clear=0.4, tau_cloud=4.0, nr=10,
+                            theta_deg=th, phi_deg=ph)
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    assert P.supports(prep.tables, static)
+    _compare(static, prep, n=256, width=128, seed=9)
