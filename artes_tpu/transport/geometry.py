@@ -126,17 +126,22 @@ def make_grid_geometry(atm, oblateness=0.0, dtype=jnp.float64) -> tuple[GridGeom
     nxt = (np.arange(nphi) + 1) % nphi
     phi_combo = np.stack([atm.phi_sin, atm.phi_cos,
                           atm.phi_sin[nxt], atm.phi_cos[nxt]], axis=1)
+    # tables stay HOST-side (numpy): the jitted kernels upload them once per
+    # dispatch, while the Pallas host wrapper reads them with zero
+    # device->host round trips — per-wavelength table prep through the
+    # tunneled TPU was dominated by RPC latency, not compute (r5)
+    npdtype = np.float64 if f64 else np.float32
     grid = GridGeometry(
-        rfront=jnp.asarray(rf, dtype=dtype),
-        theta_tan=jnp.asarray(atm.theta_tan, dtype=dtype),
-        theta_cos=jnp.asarray(atm.theta_cos, dtype=dtype),
-        thetaplane_cone=jnp.asarray(atm.thetaplane == 1),
-        theta_above=jnp.asarray(theta < np.pi / 2.0),
-        phi_sin=jnp.asarray(atm.phi_sin, dtype=dtype),
-        phi_cos=jnp.asarray(atm.phi_cos, dtype=dtype),
-        r_pair=jnp.asarray(np.stack([rf[:-1], rf[1:]], axis=1), dtype=dtype),
-        theta_combo=jnp.asarray(theta_combo, dtype=dtype),
-        phi_combo=jnp.asarray(phi_combo, dtype=dtype),
+        rfront=np.asarray(rf, dtype=npdtype),
+        theta_tan=np.asarray(atm.theta_tan, dtype=npdtype),
+        theta_cos=np.asarray(atm.theta_cos, dtype=npdtype),
+        thetaplane_cone=np.asarray(atm.thetaplane == 1),
+        theta_above=np.asarray(theta < np.pi / 2.0),
+        phi_sin=np.asarray(atm.phi_sin, dtype=npdtype),
+        phi_cos=np.asarray(atm.phi_cos, dtype=npdtype),
+        r_pair=np.asarray(np.stack([rf[:-1], rf[1:]], axis=1), dtype=npdtype),
+        theta_combo=np.asarray(theta_combo, dtype=npdtype),
+        phi_combo=np.asarray(phi_combo, dtype=npdtype),
         nr=atm.nr, ntheta=atm.ntheta, nphi=atm.nphi,
         # a = 1/oblate_x with oblate_x = 1/(1-oblateness) (ARTES.f90:469-471,:2838)
         ob_ax=1.0 - oblateness,

@@ -1726,67 +1726,99 @@ def _get_fn(spec: PallasSpec, width: int, interpret: bool,
     return _FN_CACHE[key]
 
 
+def _emit_basis_host(tables, spec):
+    """:func:`_emit_basis` evaluated on the CPU backend, returned as numpy.
+
+    The basis feeds the SMEM ``sf`` vector; computing it eagerly on the
+    default device cost ~a dozen RPC round trips per wavelength through the
+    tunneled TPU. Eager-on-CPU reproduces exactly what the parity suite has
+    always compared against (tests pin the CPU platform)."""
+    import jax
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        u_hat, e1s, e2s, w_hat = _emit_basis(tables, spec)
+        return (np.asarray(u_hat, np.float32), np.asarray(e1s, np.float32),
+                np.asarray(e2s, np.float32), np.asarray(w_hat, np.float32))
+
+
+def _key_hi_host(seed, id_hi) -> np.uint32:
+    """Host mirror of :func:`rng.key_hi` (u32 wraparound arithmetic)."""
+    return np.uint32((int(seed) + int(id_hi) * 0x9E3779B9) & 0xFFFFFFFF)
+
+
 def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
                  id_hi=0, id_lo=0):
     """Flatten the concrete tables into the kernel's SMEM / lane-table
-    operands, mirroring :func:`_sf_layout` and :func:`_gt_layout`."""
+    operands, mirroring :func:`_sf_layout` and :func:`_gt_layout`.
+
+    All assembly is HOST-side numpy: the packed operands transfer to the
+    device in a handful of uploads when the kernel is dispatched (the r4
+    jnp-eager version issued ~30 small device ops per wavelength, each a
+    tunneled-RPC round trip)."""
     g = tables.grid
     nr = spec.nr
     nm = spec.n_mix
     ncell = nr * spec.ntheta * spec.nphi
-    u_hat, e1s, e2s, w_hat = _emit_basis(tables, spec)
-    emis_cum = jnp.broadcast_to(tables.emis_cum.astype(f32), (ncell,))
-    cell_w = jnp.broadcast_to(tables.cell_weight.astype(f32), (ncell,))
+    u_hat, e1s, e2s, w_hat = _emit_basis_host(tables, spec)
+    emis_cum = np.broadcast_to(np.asarray(tables.emis_cum, np.float32),
+                               (ncell,))
+    cell_w = np.broadcast_to(np.asarray(tables.cell_weight, np.float32),
+                             (ncell,))
+    rfront = np.asarray(g.rfront, np.float32)
+    opacity = np.asarray(tables.opacity, np.float32)
+    albedo = np.asarray(tables.albedo, np.float32)
 
     # ---- scalar (SMEM) vector, _sf_layout order ----
     closed = _radial_closed(spec)
-    sf = [g.rfront.astype(f32)]
+    sf = [rfront]
     if closed:
-        sf += [tables.opacity.astype(f32).reshape(ncell),
-               g.rfront[tables.cell_depth].astype(f32).reshape(1)]
+        sf += [opacity.reshape(ncell),
+               rfront[int(tables.cell_depth)].reshape(1)]
     elif ncell == 1:
-        sf += [tables.opacity.astype(f32).reshape(1)]
+        sf += [opacity.reshape(1)]
     if ncell == 1:
-        sf += [tables.albedo.astype(f32).reshape(1),
+        sf += [albedo.reshape(1),
                cell_w[:1]]
-    sf += [jnp.stack([tables.fstop, tables.photon_minimum,
-                      tables.x_max, tables.y_max]).astype(f32),
-           tables.det_dir.astype(f32),
-           tables.det_trig.astype(f32),
+    sf += [np.asarray([tables.fstop, tables.photon_minimum,
+                       tables.x_max, tables.y_max], np.float32),
+           np.asarray(tables.det_dir, np.float32),
+           np.asarray(tables.det_trig, np.float32),
            u_hat, e1s, e2s, w_hat,
            emis_cum[-1:],
-           tables.photon_bias.astype(f32).reshape(1)]
+           np.asarray(tables.photon_bias, np.float32).reshape(1)]
     if nm == 1:
-        sf += [jnp.asarray(mt.p_int[0], f32)]
-    sf += [tables.surface_albedo.astype(f32).reshape(1)]
-    sf = jnp.concatenate(sf)
+        sf += [np.asarray(mt.p_int[0], np.float32)]
+    sf += [np.asarray(tables.surface_albedo, np.float32).reshape(1)]
+    sf = np.concatenate(sf)
     assert sf.shape[0] == _sf_layout(spec)["_n"]
 
-    si = jnp.stack([jnp.asarray(n_photons, u32), R.key_hi(seed, id_hi),
-                    jnp.asarray(id_lo, u32)])
+    si = np.stack([np.uint32(int(n_photons)), _key_hi_host(seed, id_hi),
+                   np.uint32(int(id_lo))])
 
-    prefix = jnp.asarray(mt.alpha_prefix, f32)               # (nm, 4, 181)
+    prefix = np.asarray(mt.alpha_prefix, np.float32)         # (nm, 4, 181)
     if nm == 1:
-        coarse = prefix[:, :, ::N_FINE].reshape(-1)          # (4*16,)
+        coarse = np.ascontiguousarray(
+            prefix[:, :, ::N_FINE]).reshape(-1)              # (4*16,)
     else:
-        coarse = jnp.zeros(4 * (N_COARSE + 1), f32)          # gt path
+        coarse = np.zeros(4 * (N_COARSE + 1), np.float32)    # gt path
     body = prefix[:, :, :N_ANGLE].reshape(nm, 4, N_COARSE, N_FINE)
     last = prefix[:, :, N_FINE::N_FINE].reshape(nm, 4, N_COARSE, 1)
-    fine = jnp.concatenate([body, last], axis=-1)            # (nm,4,15,13)
+    fine = np.concatenate([body, last], axis=-1)             # (nm,4,15,13)
 
     # ---- lane-gather table rows, _gt_layout order ----
     def rows_of(vec, nch):
-        vec = jnp.asarray(vec).reshape(-1)
-        pad = jnp.zeros(nch * 128 - vec.shape[0], f32)
-        return jnp.concatenate([vec.astype(f32), pad]).reshape(nch, 128)
+        vec = np.asarray(vec, np.float32).reshape(-1)
+        pad = np.zeros(nch * 128 - vec.shape[0], np.float32)
+        return np.concatenate([vec, pad]).reshape(nch, 128)
 
     lay = _gt_layout(spec)
     nch_m = lay["mat"][1]
     nch_f = lay["fine"][1]
     act = spec.alpha_active
-    scat_cols = jnp.asarray(
+    scat_cols = np.asarray(
         mt.scatter_rows[:, np.asarray(mt.distinct, np.int64)]
-        if spec.n_distinct else np.zeros((nm * N_ANGLE, 0)), f32)
+        if spec.n_distinct else np.zeros((nm * N_ANGLE, 0)), np.float32)
     gt = [rows_of(scat_cols[:, d], nch_m) for d in range(spec.n_distinct)]
     for ai, k in enumerate(act):
         for j in range(N_FINE + 1):
@@ -1797,58 +1829,69 @@ def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
             for j in range(N_COARSE + 1):
                 gt.append(rows_of(coarse_t[:, k, j], lay["coarse"][1]))
         for k in range(4):
-            gt.append(rows_of(jnp.asarray(mt.p_int[:, k], f32),
+            gt.append(rows_of(np.asarray(mt.p_int[:, k], np.float32),
                               lay["pint"][1]))
     if ncell > 1:
         if not closed:
-            gt.append(rows_of(tables.opacity, lay["opac"][1]))
-        gt.append(rows_of(tables.albedo, lay["alb"][1]))
+            gt.append(rows_of(opacity, lay["opac"][1]))
+        gt.append(rows_of(albedo, lay["alb"][1]))
         if nm > 1:
-            gt.append(rows_of(jnp.asarray(mt.mix, f32), lay["mix"][1]))
+            gt.append(rows_of(np.asarray(mt.mix, np.float32), lay["mix"][1]))
         if spec.thermal:
             gt.append(rows_of(emis_cum, lay["ecum"][1]))
             gt.append(rows_of(cell_w, lay["cw"][1]))
     if nr > 1:
-        gt.append(rows_of(g.rfront, lay["rf"][1]))
+        gt.append(rows_of(rfront, lay["rf"][1]))
     if spec.ntheta > 1:
         for k in range(6):
-            gt.append(rows_of(g.theta_combo[:, k], lay["tcombo"][1]))
+            gt.append(rows_of(np.asarray(g.theta_combo)[:, k],
+                              lay["tcombo"][1]))
         gt.append(rows_of(g.theta_cos, lay["tcos"][1]))
     if spec.nphi > 1:
-        pf = jnp.arctan2(g.phi_sin, g.phi_cos)
-        pf = jnp.where(pf < 0.0, pf + TWO_PI, pf)
-        phifront = jnp.concatenate([pf, jnp.asarray([TWO_PI], pf.dtype)])
+        pf = np.arctan2(np.asarray(g.phi_sin, np.float32),
+                        np.asarray(g.phi_cos, np.float32))
+        pf = np.where(pf < 0.0, pf + np.float32(TWO_PI), pf)
+        phifront = np.concatenate([pf, np.asarray([TWO_PI], pf.dtype)])
         for k in range(4):
-            gt.append(rows_of(g.phi_combo[:, k], lay["pcombo"][1]))
+            gt.append(rows_of(np.asarray(g.phi_combo)[:, k],
+                              lay["pcombo"][1]))
         gt.append(rows_of(phifront, lay["phif"][1]))
-    gt = jnp.concatenate(gt, axis=0) if gt else jnp.zeros((1, 128), f32)
+    gt = (np.concatenate(gt, axis=0) if gt
+          else np.zeros((1, 128), np.float32))
     assert gt.shape[0] == max(lay["_total"], 1)
     return sf, si, coarse, gt
 
 
 def _unpack_pool_out(outf, outi):
-    """Result dict of the pool kernel from its (8,128) f32/i32 output tiles
-    (also valid for psum-reduced tiles from a device mesh: every entry is an
-    additive tally)."""
+    """Result dict of the pool kernel from its (8,128) output tiles (also
+    valid for psum-reduced tiles from a device mesh: every entry is an
+    additive tally). ONE device->host round trip: the caller packs both
+    tiles into a single f32 array (ints bitcast) and this unpacks numpy."""
+    import jax
+
+    both = jnp.concatenate(
+        [outf[:1], jax.lax.bitcast_convert_type(outi[:1], f32)], axis=0)
+    host = np.asarray(both)                      # the single fetch
+    outf = host[0]
+    outi = host[1].view(np.int32)
     # splat counts: full scatter-peel counts on every component; thermal
     # birth peels book component 0 only (kernel.py _splat first_only)
-    n_full = outi[0, 6].astype(f32)
-    counts = jnp.stack([n_full + outi[0, 10].astype(f32),
-                        n_full, n_full, n_full])
-    detector = jnp.stack([outf[0, :4], outf[0, 4:8], counts],
-                         axis=-1).reshape(1, 4, 3)
+    n_full = np.float64(outi[6])
+    counts = np.asarray([n_full + outi[10], n_full, n_full, n_full])
+    detector = np.stack([outf[:4].astype(np.float64), outf[4:8], counts],
+                        axis=-1).reshape(1, 4, 3).astype(np.float32)
     return {
         "detector": detector,
-        "flow_global": jnp.zeros((1, 3), f32),
-        "flow_theta": jnp.zeros((1, 4), f32),
-        "flux_emitted": outf[0, 8],
-        "flux_exit": outf[0, 9],
-        "n_error": outi[0, 0],
-        "error_codes": jnp.stack([outi[0, 1], outi[0, 2], outi[0, 3],
-                                  outi[0, 4]]),
-        "n_alive_at_cap": outi[0, 5],
-        "n_emitted": outi[0, 7].astype(u32),
-        "n_rounds": outi[0, 8].astype(u32),
+        "flow_global": np.zeros((1, 3), np.float32),
+        "flow_theta": np.zeros((1, 4), np.float32),
+        "flux_emitted": outf[8],
+        "flux_exit": outf[9],
+        "n_error": int(outi[0]),
+        "error_codes": np.asarray([outi[1], outi[2], outi[3], outi[4]],
+                                  np.int64),
+        "n_alive_at_cap": int(outi[5]),
+        "n_emitted": np.uint32(outi[7]),
+        "n_rounds": np.uint32(outi[8]),
     }
 
 
@@ -1868,9 +1911,8 @@ def run_stream_pallas(tables, static, n_photons, seed, width: int,
                               seed, width, id_hi, id_lo, interpret)
     sf, si, coarse, gt = _pack_inputs(tables, spec, mt,
                                       n_photons, seed, id_hi, id_lo)
-    lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
-    lt_r = jnp.asarray(np.tril(np.ones((width // 128, width // 128),
-                                       np.float32), -1))
+    lt_c = np.tril(np.ones((128, 128), np.float32), -1).T
+    lt_r = np.tril(np.ones((width // 128, width // 128), np.float32), -1)
     outf, outi = _get_fn(spec, width, interpret)(sf, si, coarse, gt,
                                                  lt_c, lt_r)
     return _unpack_pool_out(outf, outi)
@@ -1881,16 +1923,14 @@ def _device_si(n_photons, seed, id_hi, id_lo, n_dev):
     sub-ranges of one chunk. The chunk never straddles a 2^32 id boundary
     (runner chunking invariant), so every sub-range shares the hi word and
     the (seed, id) -> stream mapping is independent of device count."""
-    from artes_tpu.transport import rng as R
-
     n = int(n_photons)
     base, rem = divmod(n, n_dev)
     counts = np.asarray([base + (1 if d < rem else 0)
                          for d in range(n_dev)], np.uint32)
     starts = (np.concatenate([[0], np.cumsum(counts[:-1])])
               + int(id_lo)).astype(np.uint32)
-    hi = jnp.broadcast_to(R.key_hi(seed, id_hi), (n_dev,)).astype(u32)
-    return jnp.stack([jnp.asarray(counts), hi, jnp.asarray(starts)], axis=1)
+    hi = np.full(n_dev, _key_hi_host(seed, id_hi), np.uint32)
+    return np.stack([counts, hi, starts], axis=1)
 
 
 def _get_mesh_fn(spec: PallasSpec, width: int, interpret: bool, mesh,
@@ -1944,9 +1984,8 @@ def run_stream_pallas_mesh(tables, static, n_photons, seed, width: int,
     sf, _, coarse, gt = _pack_inputs(tables, spec, mt,
                                      n_photons, seed, id_hi, id_lo)
     si_dev = _device_si(n_photons, seed, id_hi, id_lo, n_dev)
-    lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
-    lt_r = jnp.asarray(np.tril(np.ones((width // 128, width // 128),
-                                       np.float32), -1))
+    lt_c = np.tril(np.ones((128, 128), np.float32), -1).T
+    lt_r = np.tril(np.ones((width // 128, width // 128), np.float32), -1)
     stepped = _get_mesh_fn(spec, width, interpret, mesh, axis_name)
     outf, outi = stepped(sf, si_dev, coarse, gt, lt_c, lt_r)
     return _unpack_pool_out(outf, outi)
@@ -2053,39 +2092,51 @@ def _get_driver(spec: PallasSpec, width: int, interpret: bool):
     return driver
 
 
+def _seg_result(det, tall, flux, rounds, n_emitted):
+    """Segmented-run result dict in TWO device->host round trips (the
+    detector image and one packed scalar vector)."""
+    import jax
+
+    ints_dev = jnp.concatenate([
+        jnp.asarray(tall, i32).reshape(7),
+        jnp.asarray(rounds, i32).reshape(1),
+        jnp.asarray(n_emitted, i32).reshape(1)])
+    small = jnp.concatenate([jnp.asarray(flux, f32),
+                             jax.lax.bitcast_convert_type(ints_dev, f32)])
+    det = np.asarray(det)
+    small = np.asarray(small)
+    flux = small[:2]
+    ints = small[2:].view(np.int32).astype(np.int64)
+    return {
+        "detector": det,
+        "flow_global": np.zeros((1, 3), np.float32),
+        "flow_theta": np.zeros((1, 4), np.float32),
+        "flux_emitted": flux[0],
+        "flux_exit": flux[1],
+        "n_error": int(ints[0]),
+        "error_codes": ints[1:5],
+        "n_alive_at_cap": int(ints[5]),
+        "n_emitted": int(ints[8]),
+        "n_rounds": int(ints[7]),
+    }
+
+
 def _run_segmented(tables, static, spec, mt, n_photons, seed, width,
                    id_hi, id_lo, interpret):
     """Imaging runs: segmented pool kernel + on-device XLA record flush."""
-    from artes_tpu.transport import rng as R
-
     sf, _, coarse, gt = _pack_inputs(tables, spec, mt,
                                      n_photons, seed, id_hi, id_lo)
-    lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
-    lt_r = jnp.asarray(np.tril(np.ones((width // 128, width // 128),
-                                       np.float32), -1))
+    lt_c = np.tril(np.ones((128, 128), np.float32), -1).T
+    lt_r = np.tril(np.ones((width // 128, width // 128), np.float32), -1)
     driver = _get_driver(spec, width, interpret)
-    n_u32 = jnp.asarray(n_photons, u32)
-    si0 = jnp.stack([n_u32, R.key_hi(seed, id_hi),
-                     jnp.asarray(id_lo, u32), u32(0)])
+    si0 = np.asarray([np.uint32(int(n_photons)), _key_hi_host(seed, id_hi),
+                      np.uint32(int(id_lo)), np.uint32(0)], np.uint32)
     max_segments = int((int(n_photons) // width + 2)
                        * (spec.max_scatter + 4) // SEG_ROUNDS + 2)
     det, tall, flux, rounds, n_emitted, done, segs = driver(
         sf, si0, coarse, gt, lt_c, lt_r, tuple(_init_state(width)),
-        jnp.asarray(max_segments, i32))
-    tall = np.asarray(tall, np.int64)
-    return {
-        "detector": det,
-        "flow_global": jnp.zeros((1, 3), f32),
-        "flow_theta": jnp.zeros((1, 4), f32),
-        "flux_emitted": flux[0],
-        "flux_exit": flux[1],
-        "n_error": int(tall[0]),
-        "error_codes": jnp.asarray([tall[1], tall[2], tall[3], tall[4]],
-                                   jnp.int32),
-        "n_alive_at_cap": int(tall[5]),
-        "n_emitted": int(n_emitted),
-        "n_rounds": int(rounds),
-    }
+        np.int32(max_segments))
+    return _seg_result(det, tall, flux, rounds, n_emitted)
 
 
 def _get_mesh_driver(spec: PallasSpec, width: int, interpret: bool, mesh,
@@ -2129,28 +2180,14 @@ def _run_segmented_mesh(tables, static, spec, mt, n_photons, seed, width,
     sf, _, coarse, gt = _pack_inputs(tables, spec, mt,
                                      n_photons, seed, id_hi, id_lo)
     si3 = _device_si(n_photons, seed, id_hi, id_lo, n_dev)     # (n_dev, 3)
-    si_dev = jnp.concatenate([si3, jnp.zeros((n_dev, 1), u32)], axis=1)
-    lt_c = jnp.asarray(np.tril(np.ones((128, 128), np.float32), -1).T)
-    lt_r = jnp.asarray(np.tril(np.ones((width // 128, width // 128),
-                                       np.float32), -1))
+    si_dev = np.concatenate([si3, np.zeros((n_dev, 1), np.uint32)], axis=1)
+    lt_c = np.tril(np.ones((128, 128), np.float32), -1).T
+    lt_r = np.tril(np.ones((width // 128, width // 128), np.float32), -1)
     stepped = _get_mesh_driver(spec, width, interpret, mesh, axis)
     n_max = -(-int(n_photons) // n_dev)
     max_segments = int((n_max // width + 2)
                        * (spec.max_scatter + 4) // SEG_ROUNDS + 2)
     det, tall, flux, rounds, n_emitted, _n_done = stepped(
         sf, si_dev, coarse, gt, lt_c, lt_r, tuple(_init_state(width)),
-        jnp.asarray(max_segments, i32))
-    tall = np.asarray(tall, np.int64)
-    return {
-        "detector": det,
-        "flow_global": jnp.zeros((1, 3), f32),
-        "flow_theta": jnp.zeros((1, 4), f32),
-        "flux_emitted": flux[0],
-        "flux_exit": flux[1],
-        "n_error": int(tall[0]),
-        "error_codes": jnp.asarray([tall[1], tall[2], tall[3], tall[4]],
-                                   jnp.int32),
-        "n_alive_at_cap": int(tall[5]),
-        "n_emitted": int(n_emitted),
-        "n_rounds": int(rounds),
-    }
+        np.int32(max_segments))
+    return _seg_result(det, tall, flux, rounds, n_emitted)

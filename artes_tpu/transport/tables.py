@@ -123,26 +123,35 @@ def build_tables(atm, cfg, det, wl_index: int, dtype=jnp.float64) -> PreparedWav
     st, ct = np.sin(det.det_theta), np.cos(det.det_theta)
     sp, cp = np.sin(det.det_phi), np.cos(det.det_phi)
 
+    # HOST-side (numpy) tables: uploaded once per kernel dispatch instead of
+    # living on the device — the Pallas wrapper (make_spec/_pack_inputs)
+    # reads them with no device round trips, which dominated per-wavelength
+    # cost through the tunneled TPU (r5). Matches the executed dtype: with
+    # x64 off, jnp used to silently degrade f64 tables to f32 at creation.
+    npdtype = (np.float64
+               if (dtype == jnp.float64
+                   and jnp.asarray(0.0, jnp.float64).dtype == jnp.float64)
+               else np.float32)
     tables = TransportTables(
         grid=grid,
-        opacity=jnp.asarray(k_ext, dtype),
-        albedo=jnp.asarray(albedo, dtype),
-        scatter_rows=jnp.asarray(scatter_rows, dtype),
-        alpha_prefix=jnp.asarray(alpha_prefix, dtype),
-        p_int=jnp.asarray(p_int, dtype),
-        cell_depth=jnp.asarray(cell_depth, jnp.int32),
-        emis_cum=jnp.asarray(cum, dtype),
-        cell_weight=jnp.asarray(weight, dtype),
-        det_dir=jnp.asarray(det.direction, dtype),
-        det_trig=jnp.asarray([st, ct, sp, cp], dtype),
-        x_max=jnp.asarray(det.x_max / r_scale, dtype),
-        y_max=jnp.asarray(det.y_max / r_scale, dtype),
-        surface_albedo=jnp.asarray(cfg.surface_albedo, dtype),
-        fstop=jnp.asarray(cfg.fstop, dtype),
-        photon_minimum=jnp.asarray(cfg.photon_minimum, dtype),
-        photon_bias=jnp.asarray(cfg.photon_bias, dtype),
-        star_theta=jnp.asarray(cfg.theta_star, dtype),
-        star_phi=jnp.asarray(cfg.phi_star, dtype),
+        opacity=np.asarray(k_ext, npdtype),
+        albedo=np.asarray(albedo, npdtype),
+        scatter_rows=np.asarray(scatter_rows, npdtype),
+        alpha_prefix=np.asarray(alpha_prefix, npdtype),
+        p_int=np.asarray(p_int, npdtype),
+        cell_depth=np.asarray(cell_depth, np.int32),
+        emis_cum=np.asarray(cum, npdtype),
+        cell_weight=np.asarray(weight, npdtype),
+        det_dir=np.asarray(det.direction, npdtype),
+        det_trig=np.asarray([st, ct, sp, cp], npdtype),
+        x_max=np.asarray(det.x_max / r_scale, npdtype),
+        y_max=np.asarray(det.y_max / r_scale, npdtype),
+        surface_albedo=np.asarray(cfg.surface_albedo, npdtype),
+        fstop=np.asarray(cfg.fstop, npdtype),
+        photon_minimum=np.asarray(cfg.photon_minimum, npdtype),
+        photon_bias=np.asarray(cfg.photon_bias, npdtype),
+        star_theta=np.asarray(cfg.theta_star, npdtype),
+        star_phi=np.asarray(cfg.phi_star, npdtype),
     )
     return PreparedWavelength(tables=tables, r_scale=r_scale, cell_depth=cell_depth,
                               emissivity_total=emis_total, cell_luminosity=lum)

@@ -165,6 +165,15 @@ def main():
 
     rows = []
     n_err = 0
+    # warm-up: the Mosaic kernel is compiled SERVER-side at first execution
+    # (~35-85 s through the tunneled device; the XLA client compile is ~1 s
+    # and the normalized spec shares one compile across the spectrum), so
+    # absorb it with a tiny run before the measured rows — exactly what a
+    # production spectrum pays once per process, reported separately.
+    t0 = time.perf_counter()
+    run_wavelength(atm, cfg, det, 0, 1 << 16, seed=7, dtype=jnp.float32)
+    t_warm = time.perf_counter() - t0
+
     for wl in range(atm.n_wavelength):
         t0 = time.perf_counter()
         res = run_wavelength(atm, cfg, det, wl, packages, seed=7,
@@ -217,6 +226,7 @@ def main():
             "wl_range_um": [args.wl_min, args.wl_max],
         },
         "photons_per_wavelength": packages,
+        "kernel_warmup_seconds": t_warm,
         "throughput_photons_per_s": {
             "median": float(np.median(rates)),
             "min": float(np.min(rates)),
