@@ -76,6 +76,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from artes_tpu.transport import radial as RAD
 from artes_tpu.transport import rng as R
+from artes_tpu.transport import sampling as SAMP
 
 i32 = jnp.int32
 u32 = jnp.uint32
@@ -339,6 +340,7 @@ def _gt_layout(spec: PallasSpec) -> dict:
 
     alloc("mat", nm * N_ANGLE, spec.n_distinct)
     alloc("fine", nm * N_COARSE, n_act * (N_FINE + 1))
+    alloc("btrig", 16, 2)       # sin/cos(2*edge) at the beta bracket edges
     if nm > 1:
         alloc("coarse", nm, n_act * (N_COARSE + 1))
         alloc("pint", nm, 4)
@@ -1045,13 +1047,17 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             w_ = np.float32(np.pi / 16.0)
             lo = k_.astype(f32) * w_
             hi = lo + w_
+            # bracket-edge trig + angle-addition Newton (sampling.py
+            # sincos_2beta — shared arithmetic, no transcendentals)
+            lo0 = lo
+            s2lo = gat("btrig", k_, sub=0)
+            c2lo = gat("btrig", k_, sub=1)
             dcum = cum_hi - cum_lo
             beta = lo + w_ * jnp.where(
                 dcum > 0.0, (target - cum_lo) / jnp.where(dcum == 0.0, 1.0, dcum), 0.5)
             gp_floor = 1e-12 * jnp.abs(a_safe)
-            for _ in range(3):
-                s2b = jnp.sin(2.0 * beta)
-                c2b = jnp.cos(2.0 * beta)
+            for _ in range(SAMP._NEWTON_ITERS):
+                s2b, c2b = SAMP.sincos_2beta(beta - lo0, s2lo, c2lo)
                 g = a * beta + 0.5 * b * s2b + 0.5 * cc * (1.0 - c2b) - target
                 gp = a + b * c2b + cc * s2b
                 lo = jnp.where(g < 0.0, beta, lo)
@@ -1059,6 +1065,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 beta_n = beta - g / jnp.maximum(gp, gp_floor)
                 bad = (beta_n < lo) | (beta_n > hi) | ~jnp.isfinite(beta_n)
                 beta = jnp.where(bad, 0.5 * (lo + hi), beta_n)
+            # final trig exactly — see sampling.sample_beta (the in-loop
+            # polynomial is compilation-sensitive; the root is not)
             c2b = jnp.cos(2.0 * beta)
             s2b = jnp.sin(2.0 * beta)
             beta = jnp.where(u2 > 0.5, beta + np.float32(np.pi), beta)
@@ -1823,6 +1831,10 @@ def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
     for ai, k in enumerate(act):
         for j in range(N_FINE + 1):
             gt.append(rows_of(fine[:, k, :, j], nch_f))
+    # beta bracket-edge trig (sampling.BETA_EDGE_*, f32-cast of the same
+    # f64 master values the XLA kernel takes from)
+    gt.append(rows_of(np.asarray(SAMP.BETA_EDGE_SIN2, np.float32), 1))
+    gt.append(rows_of(np.asarray(SAMP.BETA_EDGE_COS2, np.float32), 1))
     if nm > 1:
         coarse_t = prefix[:, :, ::N_FINE]                    # (nm, 4, 16)
         for ai, k in enumerate(act):

@@ -49,6 +49,28 @@ _BETA_EDGES = np.linspace(0.0, np.pi, _N_BETA_COARSE + 1)
 _BETA_BASIS = np.stack([_BETA_EDGES,
                         0.5 * np.sin(2.0 * _BETA_EDGES),
                         0.5 * (1.0 - np.cos(2.0 * _BETA_EDGES))])  # (3, 17)
+# sin/cos of 2*edge at the 16 bracket-lo edges: both kernels read these
+# exact values (cast to their table dtype), keeping the Newton arithmetic
+# shared bit-for-bit under a common compiler
+BETA_EDGE_SIN2 = np.sin(2.0 * _BETA_EDGES[:_N_BETA_COARSE])
+BETA_EDGE_COS2 = np.cos(2.0 * _BETA_EDGES[:_N_BETA_COARSE])
+
+
+def sincos_2beta(delta, s2lo, c2lo):
+    """sin/cos(2 beta) for beta = lo0 + delta, delta in [0, pi/16].
+
+    Angle addition off the bracket's lower edge with small-angle
+    polynomials for sin/cos(2 delta) (|2 delta| <= pi/8 + ulp: series error
+    < 3e-7, below the f32 resolution of the transcendental it replaces and
+    far inside MC noise). Replaces the two sin/cos calls per Newton
+    iteration — the single largest ALU block of the pool round (PERF.md:
+    ~40% of round time was the CDF inversions). Shared by the XLA and
+    Pallas kernels so their photon streams stay bit-compatible."""
+    x = 2.0 * delta
+    x2 = x * x
+    sx = x * (1.0 + x2 * (-1.0 / 6.0 + x2 * (1.0 / 120.0)))
+    cx = 1.0 + x2 * (-0.5 + x2 * (1.0 / 24.0 - x2 * (1.0 / 720.0)))
+    return s2lo * cx + c2lo * sx, c2lo * cx - s2lo * sx
 
 
 def build_alpha_prefix(scatter_cell):
@@ -112,6 +134,11 @@ def sample_beta(p_int, stokes, u1, u2):
     width = pi_ / _N_BETA_COARSE
     lo = k.astype(dt) * width
     hi = lo + width
+    # trig at the bracket's lower edge: every subsequent sin/cos(2 beta)
+    # is angle addition off this pair (sincos_2beta), not a transcendental
+    lo0 = lo
+    s2lo = jnp.take(jnp.asarray(BETA_EDGE_SIN2, dt), k)
+    c2lo = jnp.take(jnp.asarray(BETA_EDGE_COS2, dt), k)
     dcum = cum_hi - cum_lo
     # secant initial guess inside the bracket
     beta = lo + width * jnp.where(dcum > 0.0,
@@ -122,9 +149,18 @@ def sample_beta(p_int, stokes, u1, u2):
     # touches zero) falls back to bisection; zero-density plateaus carry zero
     # probability mass, so the residual bracket there is immaterial.
     gp_floor = jnp.asarray(1e-12, dt) * jnp.abs(a_safe)
+    # f32 (the production kernels): angle-addition polynomial — no
+    # transcendentals in the loop, arithmetic shared with the Pallas kernel.
+    # f64 (the strict equality contracts: run_batch==run_stream at 1e-12,
+    # dryrun tier 1): exact sin/cos — libm calls are deterministic across
+    # compilation contexts, while the polynomial's FMA contraction is not.
+    use_poly = dt == jnp.float32
     for _ in range(_NEWTON_ITERS):
-        s2b = jnp.sin(2.0 * beta)
-        c2b = jnp.cos(2.0 * beta)
+        if use_poly:
+            s2b, c2b = sincos_2beta(beta - lo0, s2lo, c2lo)
+        else:
+            s2b = jnp.sin(2.0 * beta)
+            c2b = jnp.cos(2.0 * beta)
         g = a * beta + 0.5 * b * s2b + 0.5 * c * (1.0 - c2b) - target
         gp = a + b * c2b + c * s2b
         lo = jnp.where(g < 0.0, beta, lo)
@@ -135,6 +171,10 @@ def sample_beta(p_int, stokes, u1, u2):
         # (beta_n == hi after hi <- beta) and must be accepted, not bisected
         bad = (beta_n < lo) | (beta_n > hi) | ~jnp.isfinite(beta_n)
         beta = jnp.where(bad, 0.5 * (lo + hi), beta_n)
+    # final trig EXACTLY (one transcendental pair): the in-loop polynomial's
+    # FMA contraction differs between compilers, so the values entering the
+    # physics must come from the converged beta, not the polynomial — the
+    # root itself self-corrects to ~1 ulp across compilations
     c2b = jnp.cos(2.0 * beta)
     s2b = jnp.sin(2.0 * beta)
     # mirror to the other half-plane with probability 1/2 (:1589-1590);
