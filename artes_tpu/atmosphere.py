@@ -72,6 +72,12 @@ class Atmosphere:
         return len(self.wavelengths)
 
     # ---- derived tables (get_atmosphere, ARTES.f90:2174-2230) ----
+    def refresh_derived(self):
+        """Recompute k_ext/albedo/p_int after in-place edits to
+        k_sca/k_abs/scatter (the derived tables are built once at
+        construction; callers mutating the primaries must refresh)."""
+        self.__post_init__()
+
     def __post_init__(self):
         self.k_ext = self.k_sca + self.k_abs
         with np.errstate(invalid="ignore", divide="ignore"):

@@ -176,8 +176,9 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
         width = max(1024, min(1 << int(np.ceil(np.log2(max(packages, 2)))),
                               batch_size))
         if use_pallas:
-            width = min(PALLAS_WIDTH,
-                        max(128, 128 * ((width + 127) // 128)))
+            pw = (pallas_stream.preferred_width(prep.tables, static)
+                  or PALLAS_WIDTH)
+            width = min(pw, max(128, 128 * ((width + 127) // 128)))
         # chunks of 2^30 photons with a continuous 64-bit global id space:
         # photon id = chunk start + in-chunk index, so the (seed, id)->stream
         # mapping is independent of how the run is chunked (the reference's

@@ -32,6 +32,7 @@ import numpy as np
 
 from artes_tpu.constants import PI
 from artes_tpu.transport import geometry as G
+from artes_tpu.transport import jumps as J
 from artes_tpu.transport import mueller as M
 from artes_tpu.transport import radial as RAD
 from artes_tpu.transport import rng as R
@@ -234,8 +235,68 @@ def _radial_lists(t: TransportTables):
     return a2, b2, c2, rf, kx, rf_floor, g.pos_eps
 
 
+def _use_jumps(grid, static) -> bool:
+    """Order-free jump walks apply: 3-D grid, no surface, no flow."""
+    return ((grid.ntheta > 1 or grid.nphi > 1)
+            and not static.track_flow and not static.has_surface)
+
+
+def _jump_env(t: TransportTables) -> J.JumpEnv:
+    """Jump-walk environment over this kernel's tables (jumps.py doc).
+
+    Diff tables are built from ``t.opacity`` at trace time — XLA hoists
+    them out of the pool loop; gathers go through ``G.small_gather`` (the
+    HIGHEST-precision matmul gather; see geometry.small_gather)."""
+    g = t.grid
+    nr, NT, NP = g.nr, g.ntheta, g.nphi
+    k3 = t.opacity.reshape(nr, NT, NP)
+    kbar = k3[:, 0, 0]
+    dk = k3 - kbar[:, None, None]
+    env = J.JumpEnv()
+    env.nr, env.NT, env.NP = nr, NT, NP
+    env.a2, env.b2, env.c2 = g.ob_ax * g.ob_ax, g.ob_by * g.ob_by, g.ob_cz * g.ob_cz
+    env.pos_eps = g.pos_eps
+    env.rf = [g.rfront[j] for j in range(nr + 1)]
+    env.rf_floor = g.rfront[t.cell_depth]
+    env.kbar = [kbar[m] for m in range(nr)]
+    env.tcos = [g.theta_cos[j] for j in range(NT + 1)]
+    # is_cone/above as 0/1 scalars (structure rides the traced grid tables)
+    env.theta_faces = [(g.theta_tan[j] * g.theta_tan[j],
+                        g.thetaplane_cone[j], g.theta_above[j])
+                       for j in range(1, NT)]
+    env.phi_trig = [(g.phi_sin[p], g.phi_cos[p]) for p in range(NP)]
+    # all radial faces: zero-diff faces contribute exact zeros, so the
+    # Pallas wrapper's trace-time pruning stays bit-equal to this
+    env.jfaces = tuple(range(1, nr))
+    dr_rows = {j: (dk[j] - dk[j - 1]).reshape(-1) for j in env.jfaces}
+    dtt_rows = {j: (dk[:, j, :] - dk[:, j - 1, :]).reshape(-1)
+                for j in range(1, NT)}
+    dpp_rows = {p: (dk[:, :, p] - dk[:, :, (p - 1) % NP]).reshape(-1)
+                for p in range(NP)}
+    dk_flat = dk.reshape(-1)
+    env.dr = lambda j, a: G.small_gather(dr_rows[j], a)
+    env.dtt = lambda j, idx: G.small_gather(dtt_rows[j], idx)
+    env.dpp = lambda p, idx: G.small_gather(dpp_rows[p], idx)
+    env.dk0 = lambda idx: G.small_gather(dk_flat, idx)
+    rf2 = jnp.stack([env.rf[j] * env.rf[j] for j in range(1, nr)]) \
+        if nr > 1 else jnp.zeros((0,), t.opacity.dtype)
+    env.locate_m = lambda r2: (jnp.searchsorted(
+        rf2, r2, side="right").astype(jnp.int32), None)
+    return env
+
+
 def _peel_walk(t: TransportTables, static: KernelStatic, pos, cell, face, active):
     grid = t.grid
+    if _use_jumps(grid, static):
+        env = _jump_env(t)
+        d = t.det_dir.astype(pos.dtype)
+        B = pos.shape[0]
+        o = J.tau_walk_jumps(env, pos[..., 0], pos[..., 1], pos[..., 2],
+                             jnp.broadcast_to(d[0], (B,)),
+                             jnp.broadcast_to(d[1], (B,)),
+                             jnp.broadcast_to(d[2], (B,)),
+                             cell[..., 0], cell[..., 1], cell[..., 2])
+        return o["tau"], o["exited"], o["err"]
     if RAD.use_closed_form(grid, static):
         a2, b2, c2, rf, kx, rfl, peps = _radial_lists(t)
         d = t.det_dir.astype(pos.dtype)
@@ -559,7 +620,7 @@ def _march_radial(t: TransportTables, static: KernelStatic, counter,
 def _march(t: TransportTables, static: KernelStatic, keys, counter,
            pos, dirn, cell, face, stokes, tau, active, detector,
            flow_g=None, flow_t=None, merged_peel: bool = False,
-           peel_dir=None, peel_active=None):
+           peel_dir=None, peel_active=None, _jumps: bool = True):
     """Walk to the next interaction point / exit / surface.
 
     With ``merged_peel`` the per-scatter detector peel walk rides along as a
@@ -585,6 +646,36 @@ def _march(t: TransportTables, static: KernelStatic, keys, counter,
         return _march_radial(t, static, counter, pos, dirn, cell, face,
                              stokes, tau, active, detector, flow_g, flow_t,
                              merged_peel, peel_dir, peel_active)
+    if _jumps and _use_jumps(grid, static):
+        # 3-D jump walks (transport/jumps.py): (1) exit-PRECHECK along the
+        # transport direction — a lane whose sampled tau exceeds the exact
+        # path total exits/absorbs WITHOUT marching, so the lockstep
+        # while_loop below is bounded by interaction depths instead of the
+        # grid diameter (escape marches crossed the whole grid); (2) the
+        # detector/prewalk peel as a loop-free jump walk instead of the
+        # merged second marching half.
+        env = _jump_env(t)
+        w = J.tau_walk_jumps(env, pos[..., 0], pos[..., 1], pos[..., 2],
+                             dirn[..., 0], dirn[..., 1], dirn[..., 2],
+                             cell[..., 0], cell[..., 1], cell[..., 2])
+        no_reach = active & (tau >= w["tau"])
+        out, counter = _march(t, static, keys, counter, pos, dirn, cell,
+                              face, stokes, tau, active & ~no_reach,
+                              detector, flow_g, flow_t, merged_peel=False,
+                              _jumps=False)
+        out["exited"] = out["exited"] | (no_reach & w["exited"])
+        out["absorbed"] = out["absorbed"] | (no_reach & w["surface"])
+        out["surface"] = out["surface"] | (no_reach & w["surface"])
+        if not merged_peel:
+            return out, counter
+        pdir = jnp.broadcast_to(t.det_dir, (B, 3)).astype(dirn.dtype) \
+            if peel_dir is None else peel_dir
+        pw = J.tau_walk_jumps(env, pos[..., 0], pos[..., 1], pos[..., 2],
+                              pdir[..., 0], pdir[..., 1], pdir[..., 2],
+                              cell[..., 0], cell[..., 1], cell[..., 2])
+        peel = {"tau": pw["tau"], "exited": pw["exited"],
+                "surface": pw["surface"], "error": pw["err"]}
+        return out, counter, peel
     if merged_peel:
         inf = jnp.asarray(jnp.inf, tau.dtype)
         pdir = jnp.broadcast_to(t.det_dir, (B, 3)).astype(dirn.dtype) \
@@ -764,6 +855,12 @@ def _first_tau_walk(t: TransportTables, static: KernelStatic, pos, dirn, cell, f
     """Pre-walk to the grid edge/surface accumulating tau_first
     (ARTES.f90:623-656)."""
     grid = t.grid
+    if _use_jumps(grid, static):
+        env = _jump_env(t)
+        o = J.tau_walk_jumps(env, pos[..., 0], pos[..., 1], pos[..., 2],
+                             dirn[..., 0], dirn[..., 1], dirn[..., 2],
+                             cell[..., 0], cell[..., 1], cell[..., 2])
+        return o["tau"], o["surface"], o["err"]
     if RAD.use_closed_form(grid, static):
         a2, b2, c2, rf, kx, rfl, peps = _radial_lists(t)
         o = RAD.tau_walk(a2, b2, c2, rf, kx, rfl, peps,
@@ -1082,9 +1179,10 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
     thermal = static.photon_source == 2
     u32 = jnp.uint32
     fresh_stage = STAGE_BIRTH_PEEL if thermal else STAGE_PREWALK
-    # closed-form radial: the prewalk fuses into the refill round (see the
-    # FUSED block in body), shortening photon lifetime by one pool round
-    fused = RAD.use_closed_form(t.grid, static)
+    # loop-free walks (closed-form radial OR 3-D jump walks): the prewalk
+    # fuses into the refill round (see the FUSED block in body),
+    # shortening photon lifetime by one pool round
+    fused = RAD.use_closed_form(t.grid, static) or _use_jumps(t.grid, static)
 
     ncell_flow = t.opacity.shape[0] if static.track_flow else 1
     n_photons = jnp.asarray(n_photons, u32)
@@ -1217,11 +1315,17 @@ def _stream_impl(t: TransportTables, static: KernelStatic, n_photons, seed,
         # earlier at the same site index). ----
         if fused:
             peel_dir = jnp.where(nb1[:, None], dirn, det_dir_b)
-            a2_, b2_, c2_, rf_, kx_, rfl_, peps_ = _radial_lists(t)
-            pw = RAD.tau_walk(a2_, b2_, c2_, rf_, kx_, rfl_, peps_,
-                              pos[..., 0], pos[..., 1], pos[..., 2],
-                              peel_dir[..., 0], peel_dir[..., 1],
-                              peel_dir[..., 2])
+            if _use_jumps(t.grid, static):
+                pw = J.tau_walk_jumps(
+                    _jump_env(t), pos[..., 0], pos[..., 1], pos[..., 2],
+                    peel_dir[..., 0], peel_dir[..., 1], peel_dir[..., 2],
+                    cell[..., 0], cell[..., 1], cell[..., 2])
+            else:
+                a2_, b2_, c2_, rf_, kx_, rfl_, peps_ = _radial_lists(t)
+                pw = RAD.tau_walk(a2_, b2_, c2_, rf_, kx_, rfl_, peps_,
+                                  pos[..., 0], pos[..., 1], pos[..., 2],
+                                  peel_dir[..., 0], peel_dir[..., 1],
+                                  peel_dir[..., 2])
             peel = {"tau": pw["tau"], "exited": pw["exited"],
                     "surface": pw["surface"], "error": pw["err"]}
             tau_first = jnp.where(nb1, peel["tau"], tau_first)

@@ -74,6 +74,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from artes_tpu.transport import jumps as JMP
 from artes_tpu.transport import radial as RAD
 from artes_tpu.transport import rng as R
 from artes_tpu.transport import sampling as SAMP
@@ -133,6 +134,15 @@ class PallasSpec:
     nphi: int = 1            # half-planes (ARTES.f90:3030-3350)
     surface: bool = False    # Lambert surface (surface_albedo > 0)
     n_mix: int = 1           # distinct scattering mixtures over cells
+    # 3-D jump-walk structure (transport/jumps.py): radial faces with a
+    # nonzero dk diff (trace-time pruned; exact zeros elsewhere keep
+    # bit-equality with the XLA kernel's all-faces evaluation), and the
+    # theta faces' cone-vs-plane / nappe structure
+    jfaces: tuple = ()
+    tcone: tuple = ()
+    tabove: tuple = ()
+    mband: tuple = (0, 0)    # painted-shell range [lo, hi) for the
+                             # band-limited locate (jumps.py locate_m)
 
 
 # caps of the fast path (everything else falls back to run_stream)
@@ -220,6 +230,22 @@ def _column_reps(scat: np.ndarray):
     return tuple(reps), distinct
 
 
+def preferred_width(tables, static) -> int | None:
+    """Config-dependent pool width: 3-D jump-walk configs run ~4% faster at
+    16384 lanes (the wider pool amortises the short march loop's cross-pool
+    reductions and the fixed walk costs; measured 27.2/29.5/30.6 M
+    photons/s at 4096/8192/16384 on the 39x8x8 cloud deck, TPU v5e).
+    Returns None for the default width."""
+    g = tables.grid
+    try:
+        has_surface = float(tables.surface_albedo) > 0.0
+    except Exception:
+        return None
+    if (g.ntheta > 1 or g.nphi > 1) and not has_surface:
+        return 16384
+    return None
+
+
 def supports(tables, static) -> bool:
     """True when this kernel covers the configuration (else use run_stream)."""
     g = tables.grid
@@ -260,6 +286,26 @@ def make_spec(tables, static):
     # per-wavelength floor changes share one compiled kernel
     closed = (g.ntheta == 1 and g.nphi == 1
               and float(tables.surface_albedo) <= 0.0)
+    # 3-D jump-walk structure (see jumps.py): prune radial faces whose dk
+    # diff row is identically zero (kbar absorbs the purely-radial
+    # structure), and freeze the theta faces' cone/plane + nappe flags
+    jumps3d = ((g.ntheta > 1 or g.nphi > 1)
+               and float(tables.surface_albedo) <= 0.0)
+    jfaces = ()
+    tcone = ()
+    tabove = ()
+    if jumps3d:
+        k3 = np.asarray(tables.opacity, np.float32).reshape(
+            g.nr, g.ntheta, g.nphi)
+        dk = k3 - k3[:, :1, :1]          # kbar[m] = k[m, 0, 0]
+        jfaces = tuple(j for j in range(1, g.nr)
+                       if np.any(dk[j] != dk[j - 1]))
+        painted = [m for m in range(g.nr) if np.any(dk[m])]
+        mband = (min(painted), max(painted) + 1) if painted else (0, 0)
+        plane = np.asarray(tables.grid.thetaplane_cone)
+        above = np.asarray(tables.grid.theta_above)
+        tcone = tuple(bool(plane[j]) for j in range(1, g.ntheta))
+        tabove = tuple(bool(above[j]) for j in range(1, g.ntheta))
     return PallasSpec(
         nr=g.nr, cell_depth=0 if closed else int(tables.cell_depth),
         max_scatter=static.max_scatter, max_crossings=static.max_crossings,
@@ -275,6 +321,8 @@ def make_spec(tables, static):
         ntheta=g.ntheta, nphi=g.nphi,
         surface=float(tables.surface_albedo) > 0.0,
         n_mix=n_mix,
+        jfaces=jfaces, tcone=tcone, tabove=tabove,
+        mband=mband if jumps3d else (0, 0),
     ), mt
 
 
@@ -361,6 +409,17 @@ def _gt_layout(spec: PallasSpec) -> dict:
     if spec.nphi > 1:
         alloc("pcombo", spec.nphi, 4)
         alloc("phif", spec.nphi + 1)
+    if _jumps3d(spec):
+        # jump-walk diff tables (jumps.py): per-FACE rows, so every gather
+        # in a crossing costs <= a few chunks regardless of cell count
+        NA = spec.ntheta * spec.nphi
+        if spec.jfaces:
+            alloc("drj", NA, len(spec.jfaces))
+        if spec.ntheta > 1:
+            alloc("dtt", spec.nr * spec.nphi, spec.ntheta - 1)
+        if spec.nphi > 1:
+            alloc("dpp", spec.nr * spec.ntheta, spec.nphi)
+        alloc("dkall", NC)
     lay["_total"] = off
     return lay
 
@@ -368,6 +427,11 @@ def _gt_layout(spec: PallasSpec) -> dict:
 def _radial_closed(spec: PallasSpec) -> bool:
     """Closed-form radial transport applies (see transport/radial.py)."""
     return spec.ntheta == 1 and spec.nphi == 1 and not spec.surface
+
+
+def _jumps3d(spec: PallasSpec) -> bool:
+    """3-D jump walks apply (see transport/jumps.py)."""
+    return (spec.ntheta > 1 or spec.nphi > 1) and not spec.surface
 
 
 def _sf_layout(spec: PallasSpec) -> dict:
@@ -400,6 +464,16 @@ def _sf_layout(spec: PallasSpec) -> dict:
     if spec.n_mix == 1:
         alloc("pint", 4)
     alloc("salb", 1)
+    if _jumps3d(spec):
+        # jump-walk scalars (jumps.py env): per-shell baseline opacity,
+        # theta_cos faces, interior theta-face tan^2, phi-face trig
+        alloc("kbar", spec.nr)
+        alloc("tcosf", spec.ntheta + 1)
+        if spec.ntheta > 1:
+            alloc("tftan", spec.ntheta - 1)
+        if spec.nphi > 1:
+            alloc("fsin", spec.nphi)
+            alloc("fcos", spec.nphi)
     lay["_n"] = off
     return lay
 
@@ -450,6 +524,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
     nch_m = -(-(nm * N_ANGLE) // 128)      # scattering-matrix bin chunks
     nch_f = -(-(nm * N_COARSE) // 128)     # fine-CDF block chunks
     RADIAL = _radial_closed(spec)          # closed-form walks (radial.py)
+    JUMPS3D = _jumps3d(spec)               # 3-D jump walks (jumps.py)
 
     # pool-state fields round-tripped through refs in segmented mode
     _STATE = ("stage", "pid", "ctr", "px", "py", "pz", "dx", "dy", "dz",
@@ -568,6 +643,50 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             if nr == 1:
                 return zf + rf[plus]
             return gat("rf", idx + plus)
+
+        # ---- 3-D jump-walk environment (transport/jumps.py): the same
+        # arithmetic as kernel._jump_env, with lane-gather callbacks ----
+        if JUMPS3D:
+            jenv = JMP.JumpEnv()
+            jenv.nr, jenv.NT, jenv.NP = nr, NT, NP
+            jenv.a2, jenv.b2, jenv.c2 = a2, b2, c2
+            jenv.pos_eps = pos_eps
+            jenv.rf = rf
+            jenv.rf_floor = rf[cd]
+            jenv.kbar = [sf[offs["kbar"] + m] for m in range(nr)]
+            jenv.tcos = [sf[offs["tcosf"] + j] for j in range(NT + 1)]
+            jenv.theta_faces = [
+                (sf[offs["tftan"] + (j - 1)], spec.tcone[j - 1],
+                 spec.tabove[j - 1]) for j in range(1, NT)]
+            jenv.phi_trig = [(sf[offs["fsin"] + p], sf[offs["fcos"] + p])
+                             for p in range(NP)] if NP > 1 else []
+            jenv.jfaces = spec.jfaces
+            _jpos = {j: s for s, j in enumerate(spec.jfaces)}
+            jenv.dr = lambda j, a: gat("drj", a, sub=_jpos[j])
+            jenv.dtt = lambda j, idx: gat("dtt", idx, sub=j - 1)
+            jenv.dpp = lambda p, idx: gat("dpp", idx, sub=p)
+            jenv.dk0 = lambda idx: gat("dkall", idx)
+            # band-limited locate: exact within the painted-shell band,
+            # masked (False) outside — out-of-band dtt/dpp rows are exact
+            # zeros, so this is bit-equal to the XLA kernel's full locate
+            m_lo, m_hi = spec.mband
+            if m_hi <= m_lo:
+                jenv.locate_m = lambda r2: (zi, jnp.zeros(dshape, f32))
+            else:
+                rf2_lo = sf[offs["rf"] + m_lo] * sf[offs["rf"] + m_lo]
+                rf2_hi = sf[offs["rf"] + m_hi] * sf[offs["rf"] + m_hi]
+                span = m_hi - 1 - m_lo     # interior band faces
+
+                def _locate_band(r2, _lo=rf2_lo, _hi=rf2_hi, _sp=span,
+                                 _ml=m_lo):
+                    inb = ((r2 >= _lo) & (r2 < _hi)).astype(f32)
+                    if _sp <= 0:
+                        return zi + _ml, inb
+                    cnt = mono_count(
+                        _sp, lambda i: gat("rf", i + (_ml + 1)) ** 2 <= r2)
+                    return cnt + _ml, inb
+
+                jenv.locate_m = _locate_band
 
         # ---- geometry: radial-only cell_face (geometry.py:224-397) ----
         def quadratic(qa, qb, qc):
@@ -800,6 +919,18 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                     inter=mo["inter"], err=zb, e031=zb, e034=zb, e032=zb,
                     exited=mo["exited"])
 
+            if JUMPS3D:
+                # exit-PRECHECK (kernel.py _march jumps branch): lanes whose
+                # sampled tau exceeds the exact path total exit/absorb
+                # without marching — the lockstep loop below is then bounded
+                # by interaction depths, not the grid diameter
+                w = JMP.tau_walk_jumps(jenv, px, py, pz, dx, dy, dz,
+                                       cr, ct, cp)
+                no_reach = active & (tau >= w["tau"])
+                active = active & ~no_reach
+            else:
+                no_reach = None
+
             def cond(c):
                 return jnp.any(c["m"] != 0) & (c["it"] < spec.max_crossings)
 
@@ -885,6 +1016,9 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                         ctr=ctr, m=b2i(active), it=jnp.asarray(0, i32))
             o = jax.lax.while_loop(cond, body, init)
             marching = o["m"] != 0
+            exited = o["exb"] != 0
+            if JUMPS3D:
+                exited = exited | (no_reach & w["exited"])
             return dict(px=o["px"], py=o["py"], pz=o["pz"],
                         cr=o["cr"], ct=o["ct"], cp=o["cp"],
                         fax=o["fax"], fidx=o["fidx"], ctr=o["ctr"],
@@ -894,13 +1028,18 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                         inter=o["inter"] != 0,
                         err=(o["err"] != 0) | marching,
                         e031=o["e031"] != 0, e034=o["e034"] != 0,
-                        e032=marching, exited=o["exb"] != 0)
+                        e032=marching, exited=exited)
 
         # ---- peel / prewalk tau walk (the merged-march peel half) ----
         def tau_walk(px, py, pz, dx, dy, dz, cr, ct, cp, fax, fidx, active):
             if RADIAL:
                 o = RAD.tau_walk(a2, b2, c2, rf, kx, rfloor, pos_eps,
                                  px, py, pz, dx, dy, dz)
+                return dict(tau=o["tau"], exited=o["exited"],
+                            surface=o["surface"], err=o["err"])
+            if JUMPS3D:
+                o = JMP.tau_walk_jumps(jenv, px, py, pz, dx, dy, dz,
+                                       cr, ct, cp)
                 return dict(tau=o["tau"], exited=o["exited"],
                             surface=o["surface"], err=o["err"])
 
@@ -1411,11 +1550,11 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             tdz = jnp.where(live_surv, ndz, dz)
             n_scat = n_scat + live_surv.astype(i32)
 
-            # ---- FUSED prewalk (closed-form radial only, mirrors
-            # kernel.py): the tau walk resolves fresh lanes' prewalk in this
-            # round, so they march their forced first interaction
-            # immediately — one pool round less per photon ----
-            if RADIAL:
+            # ---- FUSED prewalk (loop-free walks: closed-form radial or
+            # 3-D jumps, mirrors kernel.py): the tau walk resolves fresh
+            # lanes' prewalk in this round, so they march their forced
+            # first interaction immediately — one pool round less ----
+            if RADIAL or JUMPS3D:
                 pdx = jnp.where(nb1, dx, ddx)
                 pdy = jnp.where(nb1, dy, ddy)
                 pdz = jnp.where(nb1, dz, ddz)
@@ -1457,8 +1596,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
             # ---- peel/prewalk walk (scatter peel along det dir; prewalk
             # along the photon's own direction; birth peel along det dir).
-            # The RADIAL path already ran it in the fused block above. ----
-            if not RADIAL:
+            # The FUSED paths already ran it in the block above. ----
+            if not (RADIAL or JUMPS3D):
                 peel_active = live_surv | nb1
                 if spec.thermal:
                     peel_active = peel_active | nb0
@@ -1547,7 +1686,7 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             # fused path's nb1 lanes transition through the generic
             # outcome block) ----
             nb1_err = nb1 & peel["err"]
-            if not RADIAL:
+            if not (RADIAL or JUMPS3D):
                 tau_first = jnp.where(nb1, peel["tau"], tau_first)
                 pre_surface = (nb1 & peel["surface"]) | (~nb1 & pre_surface)
                 stage = jnp.where(nb1_err, STAGE_DEAD,
@@ -1721,6 +1860,11 @@ def _get_fn(spec: PallasSpec, width: int, interpret: bool,
             in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 \
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 21)
             aliases = {6 + i: i for i in range(21)}
+        # the default 16 MB scoped-VMEM budget is exceeded by ~1% once the
+        # 3-D jump-walk diff tables join the broadcast table stack at
+        # width 8192; v5e has headroom well beyond the default cap
+        params = None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
         call = pl.pallas_call(
             kern,
             out_shape=out_shape,
@@ -1729,6 +1873,7 @@ def _get_fn(spec: PallasSpec, width: int, interpret: bool,
                 lambda _: pl.BlockSpec(memory_space=pltpu.VMEM), out_shape),
             input_output_aliases=aliases,
             interpret=interpret,
+            compiler_params=params,
         )
         _FN_CACHE[key] = jax.jit(call)
     return _FN_CACHE[key]
@@ -1798,6 +1943,16 @@ def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
     if nm == 1:
         sf += [np.asarray(mt.p_int[0], np.float32)]
     sf += [np.asarray(tables.surface_albedo, np.float32).reshape(1)]
+    if _jumps3d(spec):
+        k3j = opacity.reshape(nr, spec.ntheta, spec.nphi)
+        sf += [np.ascontiguousarray(k3j[:, 0, 0]),            # kbar
+               np.asarray(g.theta_cos, np.float32)]
+        if spec.ntheta > 1:
+            tt = np.asarray(g.theta_tan, np.float32)[1:spec.ntheta]
+            sf += [tt * tt]
+        if spec.nphi > 1:
+            sf += [np.asarray(g.phi_sin, np.float32),
+                   np.asarray(g.phi_cos, np.float32)]
     sf = np.concatenate(sf)
     assert sf.shape[0] == _sf_layout(spec)["_n"]
 
@@ -1868,6 +2023,25 @@ def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
             gt.append(rows_of(np.asarray(g.phi_combo)[:, k],
                               lay["pcombo"][1]))
         gt.append(rows_of(phifront, lay["phif"][1]))
+    if _jumps3d(spec):
+        # jump-walk diff tables (same f32 arithmetic as the XLA kernel's
+        # trace-time construction: dk = k - k[:, :1, :1], then per-face
+        # differences — see kernel._jump_env)
+        NT_, NP_ = spec.ntheta, spec.nphi
+        k3j = opacity.reshape(nr, NT_, NP_)
+        dkj = k3j - k3j[:, :1, :1]
+        for j in spec.jfaces:
+            gt.append(rows_of((dkj[j] - dkj[j - 1]).reshape(-1),
+                              lay["drj"][1]))
+        if NT_ > 1:
+            for t_ in range(1, NT_):
+                gt.append(rows_of((dkj[:, t_, :] - dkj[:, t_ - 1, :])
+                                  .reshape(-1), lay["dtt"][1]))
+        if NP_ > 1:
+            for p_ in range(NP_):
+                gt.append(rows_of((dkj[:, :, p_] - dkj[:, :, (p_ - 1) % NP_])
+                                  .reshape(-1), lay["dpp"][1]))
+        gt.append(rows_of(dkj.reshape(-1), lay["dkall"][1]))
     gt = (np.concatenate(gt, axis=0) if gt
           else np.zeros((1, 128), np.float32))
     assert gt.shape[0] == max(lay["_total"], 1)
@@ -1877,15 +2051,17 @@ def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
 def _unpack_pool_out(outf, outi):
     """Result dict of the pool kernel from its (8,128) output tiles (also
     valid for psum-reduced tiles from a device mesh: every entry is an
-    additive tally). ONE device->host round trip: the caller packs both
-    tiles into a single f32 array (ints bitcast) and this unpacks numpy."""
+    additive tally). ONE device->host round trip: both tiles packed into a
+    single I32 array (floats bitcast INTO the int domain — the tunneled
+    axon transport canonicalizes f32 payloads, so i32 bit patterns shipped
+    as f32 rows come back zeroed; r5)."""
     import jax
 
     both = jnp.concatenate(
-        [outf[:1], jax.lax.bitcast_convert_type(outi[:1], f32)], axis=0)
+        [jax.lax.bitcast_convert_type(outf[:1], i32), outi[:1]], axis=0)
     host = np.asarray(both)                      # the single fetch
-    outf = host[0]
-    outi = host[1].view(np.int32)
+    outf = host[0].view(np.float32)
+    outi = host[1]
     # splat counts: full scatter-peel counts on every component; thermal
     # birth peels book component 0 only (kernel.py _splat first_only)
     n_full = np.float64(outi[6])
@@ -2109,16 +2285,17 @@ def _seg_result(det, tall, flux, rounds, n_emitted):
     detector image and one packed scalar vector)."""
     import jax
 
+    # pack in the INT domain (see _unpack_pool_out: the tunnel
+    # canonicalizes f32 payloads, zeroing bitcast int rows)
     ints_dev = jnp.concatenate([
+        jax.lax.bitcast_convert_type(jnp.asarray(flux, f32).reshape(2), i32),
         jnp.asarray(tall, i32).reshape(7),
         jnp.asarray(rounds, i32).reshape(1),
         jnp.asarray(n_emitted, i32).reshape(1)])
-    small = jnp.concatenate([jnp.asarray(flux, f32),
-                             jax.lax.bitcast_convert_type(ints_dev, f32)])
     det = np.asarray(det)
-    small = np.asarray(small)
-    flux = small[:2]
-    ints = small[2:].view(np.int32).astype(np.int64)
+    small = np.asarray(ints_dev)
+    flux = small[:2].view(np.float32)
+    ints = small[2:].astype(np.int64)
     return {
         "detector": det,
         "flow_global": np.zeros((1, 3), np.float32),

@@ -105,18 +105,11 @@ def ray_chords(a2, b2, c2, rf, rf_floor, pos_eps, px, py, pz, dx, dy, dz):
     return e, h, surface_hit, s_surf
 
 
-def tau_walk(a2, b2, c2, rf, kx, rf_floor, pos_eps,
-             px, py, pz, dx, dy, dz):
-    """Total optical depth to the grid boundary or floor along a ray
-    (the prewalk ARTES.f90:623-656 / peel walk :4542-4569, loop-free).
-
-    ``kx`` is a list of nr per-cell opacity scalars. Returns a dict with
-    ``tau``, ``exited``, ``surface``, ``err`` matching the marching
-    tau-walk contract (``err`` is always False — no failure modes).
-    """
-    nr = len(rf) - 1
-    e, h, surface_hit, s_surf = ray_chords(a2, b2, c2, rf, rf_floor,
-                                           pos_eps, px, py, pz, dx, dy, dz)
+def tau_from_chords(e, h, surface_hit, s_surf, kx):
+    """Optical-depth sum over precomputed chords (the inner loops of
+    :func:`tau_walk`, reusable when the caller already has the crossing
+    parameters — e.g. the 3-D jump walk's kbar baseline)."""
+    nr = len(e) - 1
     tau = None
     for m in range(nr - 1, -1, -1):       # inbound, path order
         seg = jnp.maximum(jnp.minimum(e[m], s_surf)
@@ -126,6 +119,21 @@ def tau_walk(a2, b2, c2, rf, kx, rf_floor, pos_eps,
     for m in range(nr):                    # outbound (zero past the floor)
         seg = jnp.maximum(h[m + 1] - h[m], 0.0)
         tau = tau + jnp.where(surface_hit, 0.0, kx[m] * seg)
+    return tau
+
+
+def tau_walk(a2, b2, c2, rf, kx, rf_floor, pos_eps,
+             px, py, pz, dx, dy, dz):
+    """Total optical depth to the grid boundary or floor along a ray
+    (the prewalk ARTES.f90:623-656 / peel walk :4542-4569, loop-free).
+
+    ``kx`` is a list of nr per-cell opacity scalars. Returns a dict with
+    ``tau``, ``exited``, ``surface``, ``err`` matching the marching
+    tau-walk contract (``err`` is always False — no failure modes).
+    """
+    e, h, surface_hit, s_surf = ray_chords(a2, b2, c2, rf, rf_floor,
+                                           pos_eps, px, py, pz, dx, dy, dz)
+    tau = tau_from_chords(e, h, surface_hit, s_surf, kx)
     return dict(tau=tau, exited=~surface_hit, surface=surface_hit,
                 err=jnp.zeros_like(surface_hit))
 

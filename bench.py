@@ -111,6 +111,7 @@ atm39 = presets.rayleigh_single_layer(tau=4.0, nr=39, shell_km=97.5)
 prof = np.exp(np.linspace(2.0, -2.0, 39))[:, None, None, None]
 atm39.k_sca = atm39.k_sca * prof
 atm39.k_abs = atm39.k_abs * prof
+atm39.refresh_derived()
 cfg39 = ArtesConfig()
 cfg39.mode = "spectrum"
 det39 = detector_setup(cfg39, float(atm39.rfront[-1]))
@@ -139,6 +140,44 @@ if use_pallas39:
     agree39 = abs(i_p - i_x) / abs(i_x)
 else:
     tp39, n_err39, counts_maxdiff, agree39 = 0.0, -1, -1, -1.0
+
+# BASELINE #4-class 3-D grid at reference-like resolution (VERDICT r4 item
+# 2): 39 x 8 x 8 = 2,496 cells, patchy theta/phi cloud zones confined to an
+# 8-shell deck over a clear column — the shape the reference's zone painter
+# produces (ARTES.f90:2800-3470). Runs the 3-D jump-walk fast path
+# (transport/jumps.py) at its preferred pool width.
+th3 = tuple(np.linspace(0.0, 180.0, 9))
+ph3 = tuple(np.linspace(0.0, 360.0, 9)[:-1])
+atm3 = presets.patchy_3d(tau_clear=0.2, tau_cloud=3.0, nr=39,
+                         theta_deg=th3, phi_deg=ph3)
+_k3 = atm3.k_sca.copy()
+_clear3 = _k3.min(axis=(1, 2), keepdims=True)
+_deck = np.zeros(39, bool)
+_deck[20:28] = True
+atm3.k_sca = np.where(_deck[:, None, None, None], _k3, _clear3)
+atm3.refresh_derived()
+cfg3 = ArtesConfig()
+cfg3.mode = "spectrum"
+det3 = detector_setup(cfg3, float(atm3.rfront[-1]))
+static3 = _kernel_static(cfg3, det3, atm3, False)
+prep3 = build_tables(atm3, cfg3, det3, 0, dtype=dtype)
+if pallas_stream.supports(prep3.tables, static3) and platform != "cpu":
+    w3 = pallas_stream.preferred_width(prep3.tables, static3) or PALLAS_WIDTH
+    tp3, out3, (_, n_err3, _) = measure(
+        pallas_stream.run_stream_pallas, static3, prep3,
+        min(n_photons, 1 << 25), 29, w3)
+    # statistical cross-kernel check (same caveats as hydrostatic39)
+    o3p = pallas_stream.run_stream_pallas(prep3.tables, static3, 1 << 16,
+                                          19, w3)
+    o3x = run_stream(prep3.tables, static3, 1 << 16, 19, 1 << 14)
+    c3p = np.asarray(o3p["detector"], np.float64)[..., 2]
+    c3x = np.asarray(o3x["detector"], np.float64)[..., 2]
+    grid3_counts_maxdiff = int(np.abs(c3p - c3x).max())
+    i3p = float(np.asarray(o3p["detector"], np.float64)[0, 0, 0])
+    i3x = float(np.asarray(o3x["detector"], np.float64)[0, 0, 0])
+    agree3 = abs(i3p - i3x) / abs(i3x)
+else:
+    tp3, n_err3, grid3_counts_maxdiff, agree3 = 0.0, -1, -1, -1.0
 
 # thermal source (BASELINE #3 kernel class): emissivity-CDF emission,
 # birth peel, flux bookkeeping
@@ -178,6 +217,10 @@ print(json.dumps({
     "hydrostatic39_counts_maxdiff": counts_maxdiff,
     "hydrostatic39_I_rel_vs_xla": agree39,
     "hydrostatic39_n_error": n_err39,
+    "grid3d_2496_throughput": tp3,
+    "grid3d_2496_counts_maxdiff": grid3_counts_maxdiff,
+    "grid3d_2496_I_rel_vs_xla": agree3,
+    "grid3d_2496_n_error": n_err3,
     "thermal_throughput": tp_th,
     "thermal_n_error": n_err_t,
     "detector_I_raw": float(np.asarray(out["detector"], np.float64)[:, 0, 0].sum()),
@@ -241,6 +284,10 @@ def main():
         "hydrostatic39_counts_maxdiff": result.get("hydrostatic39_counts_maxdiff"),
         "hydrostatic39_I_rel_vs_xla": result.get("hydrostatic39_I_rel_vs_xla"),
         "hydrostatic39_n_error": result.get("hydrostatic39_n_error"),
+        "grid3d_2496_throughput": result.get("grid3d_2496_throughput", 0.0),
+        "grid3d_2496_counts_maxdiff": result.get("grid3d_2496_counts_maxdiff"),
+        "grid3d_2496_I_rel_vs_xla": result.get("grid3d_2496_I_rel_vs_xla"),
+        "grid3d_2496_n_error": result.get("grid3d_2496_n_error"),
         "thermal_throughput": result.get("thermal_throughput", 0.0),
         "detector_I_raw": result["detector_I_raw"],
         "device": result["device"],

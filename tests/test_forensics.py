@@ -86,14 +86,18 @@ def test_degenerate_geometry_ring_capture():
     """Injected degenerate traversal (max_crossings too small for the grid)
     floods error 032; the ring keeps capturing past the first K events.
     Uses a 3-D grid: radial-only grids run the closed-form transport
-    (transport/radial.py) which has no crossing cap and no failure modes."""
+    (transport/radial.py) which has no crossing cap and no failure modes.
+    The r5 jump-walk exit-precheck (transport/jumps.py) bounds marches by
+    interaction depth — escape marches no longer hit the crossing cap — so
+    the cap must sit below even an interacting march's crossing count to
+    still force the error-032 capture path."""
     atm = presets.rayleigh_single_layer(tau=6.0, nr=8,
                                         theta_deg=(0.0, 90.0, 180.0))
     cfg = ArtesConfig()
     cfg.mode = "spectrum"
     det = detector_setup(cfg, float(atm.rfront[-1]))
     prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
-    static = _static_with(cfg, det, atm, max_crossings=8)
+    static = _static_with(cfg, det, atm, max_crossings=2)
     out = run_stream(prep.tables, static, 600, 5, 256)
     assert int(out["n_error"]) > 0
     assert int(np.asarray(out["error_codes"]).sum()) > 0

@@ -284,6 +284,7 @@ def _graded(preset_fn, nr, **kw):
     prof = np.exp(np.linspace(2.0, -2.0, nr))[:, None, None, None]
     atm.k_sca = atm.k_sca * prof
     atm.k_abs = atm.k_abs * prof
+    atm.refresh_derived()
     return atm
 
 
@@ -335,6 +336,7 @@ def test_pallas_mixture_dedup_two_species():
                                     g1=0.6, p_linear=0.3)
     atm.scatter[:4] = hg.scatter.transpose(2, 0, 1)[None, 0]
     atm.k_abs[:4] = 0.05 * atm.k_sca[:4]
+    atm.refresh_derived()
     cfg = ArtesConfig()
     cfg.mode = "spectrum"
     det = detector_setup(cfg, float(atm.rfront[-1]))
@@ -406,6 +408,7 @@ def test_pallas_thermal_plus_surface():
     # give the shell some scattering so marches reach the surface
     atm.k_sca[:] = 0.5 * atm.k_abs
     atm.scatter[:] = presets.rayleigh_single_layer(nr=1).scatter[0, 0, 0]
+    atm.refresh_derived()
     cfg = ArtesConfig()
     cfg.mode = "spectrum"
     cfg.photon_source = "planet"
