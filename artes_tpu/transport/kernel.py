@@ -581,10 +581,35 @@ def _march_radial(t: TransportTables, static: KernelStatic, counter,
     grid = t.grid
     B = pos.shape[0]
     a2, b2, c2, rf, kx, rfl, peps = _radial_lists(t)
+
+    flow_obj = None
+    if static.track_flow:
+        # closed-form flow booking (radial.py march flow hook): per
+        # trace-time shell segment, .at[m].add of the lane-summed tallies
+        class _FlowAcc:
+            def __init__(self, fg, ft):
+                self.fg = fg
+                self.ft = ft
+
+            def add_g(self, m, wr, wt, wp):
+                self.fg = self.fg.at[m].add(jnp.stack(
+                    [jnp.sum(wr, dtype=self.fg.dtype),
+                     jnp.sum(wt, dtype=self.fg.dtype),
+                     jnp.sum(wp, dtype=self.fg.dtype)]))
+
+            def add_t(self, m, col, w):
+                self.ft = self.ft.at[m, col].add(
+                    jnp.sum(w, dtype=self.ft.dtype))
+
+        flow_obj = _FlowAcc(flow_g, flow_t)
+
     mo = RAD.march(a2, b2, c2, rf, kx, rfl, peps,
                    pos[..., 0], pos[..., 1], pos[..., 2],
                    dirn[..., 0], dirn[..., 1], dirn[..., 2],
-                   tau, active, jnp.int32)
+                   tau, active, jnp.int32,
+                   energy=stokes[..., 0], flow=flow_obj)
+    if flow_obj is not None:
+        flow_g, flow_t = flow_obj.fg, flow_obj.ft
     moved = mo["inter"] | mo["surface"]
     pos_new = jnp.where(moved[..., None],
                         pos + mo["s_stop"][..., None] * dirn, pos)

@@ -143,6 +143,7 @@ class PallasSpec:
     tabove: tuple = ()
     mband: tuple = (0, 0)    # painted-shell range [lo, hi) for the
                              # band-limited locate (jumps.py locate_m)
+    flow: bool = False       # closed-form radial flow diagnostics
 
 
 # caps of the fast path (everything else falls back to run_stream)
@@ -254,9 +255,15 @@ def supports(tables, static) -> bool:
     except Exception:
         return False  # traced tables: cannot specialise eagerly
     ncell = g.nr * g.ntheta * g.nphi
+    # flow diagnostics ride the closed-form radial march (radial.py flow
+    # hook) on single-pixel radial surfaceless configs; elsewhere they
+    # still fall back to the XLA marching kernel
+    flow_ok = (g.ntheta == 1 and g.nphi == 1
+               and float(tables.surface_albedo) <= 0.0
+               and static.nx * static.ny == 1)
     ok = (static.photon_source in (1, 2)
           and static.photon_scattering
-          and not static.track_flow
+          and (not static.track_flow or flow_ok)
           and not static.det_f64      # f32 in-kernel accumulators only
           and not static.debug_stokes  # error-050 check: XLA kernel only
           and 1 <= static.nx * static.ny <= MAX_PIXELS
@@ -321,6 +328,7 @@ def make_spec(tables, static):
         ntheta=g.ntheta, nphi=g.nphi,
         surface=float(tables.surface_albedo) > 0.0,
         n_mix=n_mix,
+        flow=bool(static.track_flow),
         jfaces=jfaces, tcone=tcone, tabove=tabove,
         mband=mband if jumps3d else (0, 0),
     ), mt
@@ -898,13 +906,15 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
 
         # ---- transport march (kernel.py _march, transport half) ----
         def march(px, py, pz, dx, dy, dz, cr, ct, cp, fax, fidx, tau,
-                  active, ctr, k0=None, k1=None):
+                  active, ctr, k0=None, k1=None, energy=None,
+                  flow_acc=None):
             if RADIAL:
                 # closed-form shell-chord march (radial.py): loop-free,
                 # error-free, consumes no RNG sites — arithmetic shared
                 # with kernel.py _march_radial for bit-compatible streams
                 mo = RAD.march(a2, b2, c2, rf, kx, rfloor, pos_eps,
-                               px, py, pz, dx, dy, dz, tau, active, i32)
+                               px, py, pz, dx, dy, dz, tau, active, i32,
+                               energy=energy, flow=flow_acc)
                 moved = mo["inter"] | mo["surface"]
                 return dict(
                     px=jnp.where(moved, px + mo["s_stop"] * dx, px),
@@ -1590,8 +1600,42 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             if spec.surface:
                 tau = jnp.where(surf, tau_first, tau)
                 active_t = active_t | surf
-            m_out = march(px, py, pz, tdx, tdy, tdz, cr, ct, cp, fax, fidx,
-                          tau, active_t, ctr, k0, k1)
+            if spec.flow:
+                # per-shell flow tallies: SUBLANE-reduce each segment's
+                # contribution (cheap cross-sublane sum) into row m of a
+                # per-component (FR,128) tile; the expensive cross-LANE
+                # reduction happens once at kernel end, not per segment —
+                # per-segment full-pool reductions cost ~2x the whole
+                # radial round (measured 17.5 vs 37 M photons/s)
+                FR = -(-nr // 8) * 8
+                frow = jax.lax.broadcasted_iota(i32, (FR, 128), 0)
+                fdelta = {k_: jnp.zeros((FR, 128), f32)
+                          for k_ in ("g0", "g1", "g2", "t0", "t1")}
+
+                def _fbook(key_, m, w_):
+                    part = jnp.sum(w_, axis=0, keepdims=True)    # (1, 128)
+                    fdelta[key_] = jnp.where(frow == m,
+                                             fdelta[key_] + part,
+                                             fdelta[key_])
+
+                class _FlowAccP:
+                    def add_g(self, m, wr, wt, wp):
+                        _fbook("g0", m, wr)
+                        _fbook("g1", m, wt)
+                        _fbook("g2", m, wp)
+
+                    def add_t(self, m, col, w_):
+                        _fbook(f"t{col}", m, w_)
+
+                m_out = march(px, py, pz, tdx, tdy, tdz, cr, ct, cp, fax,
+                              fidx, tau, active_t, ctr, k0, k1,
+                              energy=sI, flow_acc=_FlowAccP())
+                flow_new = {("flow" + k_): c["flow" + k_] + fdelta[k_]
+                            for k_ in fdelta}
+            else:
+                flow_new = None
+                m_out = march(px, py, pz, tdx, tdy, tdz, cr, ct, cp, fax,
+                              fidx, tau, active_t, ctr, k0, k1)
             ctr = m_out["ctr"]
 
             # ---- peel/prewalk walk (scatter peel along det dir; prewalk
@@ -1749,6 +1793,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 n_active=jnp.sum((stage != STAGE_DEAD).astype(i32), dtype=i32),
                 round=c["round"] + u32(1),
             )
+            if spec.flow:
+                out.update(flow_new)
             if seg_k is None:
                 out.update(accI=accI, accQ=accQ, accU=accU, accV=accV,
                            accI2=accI2, accQ2=accQ2, accU2=accU2, accV2=accV2,
@@ -1773,6 +1819,10 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 accI=zf, accQ=zf, accU=zf, accV=zf,
                 accI2=zf, accQ2=zf, accU2=zf, accV2=zf,
                 accN=zi, accNI=zi, n_emitted=u32(0))
+            if spec.flow:
+                FR = -(-nr // 8) * 8
+                init.update({("flow" + k_): jnp.zeros((FR, 128), f32)
+                             for k_ in ("g0", "g1", "g2", "t0", "t1")})
         else:
             for name, ref in zip(_STATE, st_in):
                 init[name] = ref[...]
@@ -1797,6 +1847,24 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         floats += [fin["accFluxM"], fin["accFluxX"]]
         for e, v in enumerate(floats):
             outv = jnp.where((row == 0) & (lane == e), v, outv)
+        if seg_k is None and spec.flow:
+            # final cross-lane reduction of the per-shell partials, once:
+            # rows 1-3 (flow_global, m*3+c) and 4-5 (flow_theta, m*2+col)
+            FR = -(-nr // 8) * 8
+            frow_f = jax.lax.broadcasted_iota(i32, (FR, 128), 0)
+            for m in range(nr):
+                for c_, k_ in ((0, "g0"), (1, "g1"), (2, "g2")):
+                    idx = m * 3 + c_
+                    v = jnp.sum(jnp.where(frow_f == m, fin["flow" + k_],
+                                          0.0), dtype=f32)
+                    outv = jnp.where((row == 1 + idx // 128)
+                                     & (lane == idx % 128), v, outv)
+                for col in range(2):
+                    idx = m * 2 + col
+                    v = jnp.sum(jnp.where(frow_f == m, fin[f"flowt{col}"],
+                                          0.0), dtype=f32)
+                    outv = jnp.where((row == 4 + idx // 128)
+                                     & (lane == idx % 128), v, outv)
         outf[...] = outv
 
         outw = jnp.zeros((8, 128), i32)
@@ -2048,30 +2116,41 @@ def _pack_inputs(tables, spec: PallasSpec, mt: MixTables, n_photons, seed,
     return sf, si, coarse, gt
 
 
-def _unpack_pool_out(outf, outi):
+def _unpack_pool_out(outf, outi, spec=None):
     """Result dict of the pool kernel from its (8,128) output tiles (also
     valid for psum-reduced tiles from a device mesh: every entry is an
     additive tally). ONE device->host round trip: both tiles packed into a
     single I32 array (floats bitcast INTO the int domain — the tunneled
     axon transport canonicalizes f32 payloads, so i32 bit patterns shipped
-    as f32 rows come back zeroed; r5)."""
+    as f32 rows come back zeroed; r5). Rows 1-5 of the float tile carry the
+    per-shell flow tallies when ``spec.flow``."""
     import jax
 
     both = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(outf[:1], i32), outi[:1]], axis=0)
+        [jax.lax.bitcast_convert_type(outf[:6], i32), outi[:1]], axis=0)
     host = np.asarray(both)                      # the single fetch
-    outf = host[0].view(np.float32)
-    outi = host[1]
+    frows = host[:6].view(np.float32)
+    outf = frows[0]
+    outi = host[6]
     # splat counts: full scatter-peel counts on every component; thermal
     # birth peels book component 0 only (kernel.py _splat first_only)
     n_full = np.float64(outi[6])
     counts = np.asarray([n_full + outi[10], n_full, n_full, n_full])
     detector = np.stack([outf[:4].astype(np.float64), outf[4:8], counts],
                         axis=-1).reshape(1, 4, 3).astype(np.float32)
+    if spec is not None and spec.flow:
+        nr = spec.nr
+        flow_g = frows[1:4].reshape(-1)[:3 * nr].reshape(nr, 3).copy()
+        ft2 = frows[4:6].reshape(-1)[:2 * nr].reshape(nr, 2)
+        flow_t = np.zeros((nr, 4), np.float32)
+        flow_t[:, :2] = ft2
+    else:
+        flow_g = np.zeros((1, 3), np.float32)
+        flow_t = np.zeros((1, 4), np.float32)
     return {
         "detector": detector,
-        "flow_global": np.zeros((1, 3), np.float32),
-        "flow_theta": np.zeros((1, 4), np.float32),
+        "flow_global": flow_g,
+        "flow_theta": flow_t,
         "flux_emitted": outf[8],
         "flux_exit": outf[9],
         "n_error": int(outi[0]),
@@ -2103,7 +2182,7 @@ def run_stream_pallas(tables, static, n_photons, seed, width: int,
     lt_r = np.tril(np.ones((width // 128, width // 128), np.float32), -1)
     outf, outi = _get_fn(spec, width, interpret)(sf, si, coarse, gt,
                                                  lt_c, lt_r)
-    return _unpack_pool_out(outf, outi)
+    return _unpack_pool_out(outf, outi, spec)
 
 
 def _device_si(n_photons, seed, id_hi, id_lo, n_dev):
@@ -2176,7 +2255,7 @@ def run_stream_pallas_mesh(tables, static, n_photons, seed, width: int,
     lt_r = np.tril(np.ones((width // 128, width // 128), np.float32), -1)
     stepped = _get_mesh_fn(spec, width, interpret, mesh, axis_name)
     outf, outi = stepped(sf, si_dev, coarse, gt, lt_c, lt_r)
-    return _unpack_pool_out(outf, outi)
+    return _unpack_pool_out(outf, outi, spec)
 
 
 def _init_state(width):

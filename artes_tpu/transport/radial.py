@@ -53,9 +53,26 @@ BIG = 1.0e30
 
 
 def use_closed_form(grid, static) -> bool:
-    """Closed-form path applies: radial-only, no surface, no flow."""
+    """Closed-form path applies: radial-only, no surface. Flow diagnostics
+    are booked per trace-time shell segment (see :func:`march`'s ``flow``
+    hook), so they no longer force the marching path (r5)."""
     return (grid.ntheta == 1 and grid.nphi == 1
-            and not static.track_flow and not static.has_surface)
+            and not static.has_surface)
+
+
+def flow_project(x, y, z, dx, dy, dz):
+    """Direction projections onto the local (r, theta, phi) unit vectors,
+    algebraically (no arccos/arctan — Mosaic has neither; exact-math equal
+    to the trig form in kernel._flow_global_update, shared by both kernels
+    so the closed-form flow stays bit-compatible between them)."""
+    r = jnp.sqrt(x * x + y * y + z * z)
+    rho = jnp.sqrt(x * x + y * y)
+    inv_r = 1.0 / jnp.maximum(r, 1e-30)
+    inv_rho = 1.0 / jnp.maximum(rho, 1e-30)
+    r_dir = (x * dx + y * dy + z * dz) * inv_r
+    t_dir = (z * (x * dx + y * dy) * inv_rho - rho * dz) * inv_r
+    p_dir = (-y * dx + x * dy) * inv_rho
+    return r_dir, t_dir, p_dir
 
 
 def ray_chords(a2, b2, c2, rf, rf_floor, pos_eps, px, py, pz, dx, dy, dz):
@@ -139,7 +156,8 @@ def tau_walk(a2, b2, c2, rf, kx, rf_floor, pos_eps,
 
 
 def march(a2, b2, c2, rf, kx, rf_floor, pos_eps,
-          px, py, pz, dx, dy, dz, tau_budget, active, i32):
+          px, py, pz, dx, dy, dz, tau_budget, active, i32,
+          energy=None, flow=None):
     """March to the sampled optical depth (ARTES.f90:687-778, loop-free).
 
     Returns ``s_stop`` (path length consumed; the surface-arrival distance
@@ -147,10 +165,32 @@ def march(a2, b2, c2, rf, kx, rf_floor, pos_eps,
     ``inter``, ``exited``, ``surface`` (arrived at the floor with budget to
     spare — absorbed, since this path excludes Lambert surfaces), and
     ``tau_surf`` (optical depth consumed up to the floor).
+
+    ``flow`` (optional, with ``energy`` = per-lane Stokes I): an object
+    with ``add_g(m, wr, wt, wp)`` / ``add_t(m, col, w)`` receiving per-lane
+    MASKED contributions of each trace-time shell segment — the closed-form
+    equivalent of the marching kernel's per-crossing flow booking
+    (kernel._flow_global_update / _flow_theta_update; ARTES.f90:711-744):
+    flow_global books energy*distance projected at the segment's END
+    position for every step including the interaction/absorption partials;
+    flow_theta books energy at full crossings (col 0 outward, 1 inward).
     """
     nr = len(rf) - 1
     e, h, surface_hit, s_surf = ray_chords(a2, b2, c2, rf, rf_floor,
                                            pos_eps, px, py, pz, dx, dy, dz)
+
+    def book(m, mask_m, hit, start, seg, s_stop_m, outward):
+        dist = jnp.where(hit, s_stop_m - start, seg)
+        end_t = jnp.where(hit, s_stop_m, start + seg)
+        ex = px + end_t * dx
+        ey = py + end_t * dy
+        ez = pz + end_t * dz
+        wr, wt, wp = flow_project(ex, ey, ez, dx, dy, dz)
+        w = energy * dist * mask_m
+        flow.add_g(m, wr * w, wt * w, wp * w)
+        crossing = mask_m & ~hit
+        flow.add_t(m, 0 if outward else 1, energy * crossing)
+
     cum = jnp.zeros_like(px)
     inter = jnp.zeros_like(surface_hit)
     s_stop = jnp.zeros_like(px)
@@ -161,7 +201,11 @@ def march(a2, b2, c2, rf, kx, rf_floor, pos_eps,
         c_new = cum + kx[m] * seg
         k_safe = jnp.where(kx[m] == 0.0, 1.0, kx[m])
         hit = active & ~inter & (c_new > tau_budget)
-        s_stop = jnp.where(hit, start + (tau_budget - cum) / k_safe, s_stop)
+        s_stop_m = start + (tau_budget - cum) / k_safe
+        if flow is not None:
+            book(m, active & ~inter & (seg > 0.0), hit, start, seg,
+                 s_stop_m, outward=False)
+        s_stop = jnp.where(hit, s_stop_m, s_stop)
         cr_stop = jnp.where(hit, m, cr_stop)
         inter = inter | hit
         cum = c_new
@@ -173,7 +217,11 @@ def march(a2, b2, c2, rf, kx, rf_floor, pos_eps,
         c_new = cum + jnp.where(surface_hit, 0.0, kx[m] * seg)
         k_safe = jnp.where(kx[m] == 0.0, 1.0, kx[m])
         hit = active & ~inter & ~surface_hit & (c_new > tau_budget)
-        s_stop = jnp.where(hit, h[m] + (tau_budget - cum) / k_safe, s_stop)
+        s_stop_m = h[m] + (tau_budget - cum) / k_safe
+        if flow is not None:
+            book(m, active & ~inter & ~surface_hit & (seg > 0.0), hit,
+                 h[m], seg, s_stop_m, outward=True)
+        s_stop = jnp.where(hit, s_stop_m, s_stop)
         cr_stop = jnp.where(hit, m, cr_stop)
         inter = inter | hit
         cum = c_new

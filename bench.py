@@ -141,6 +141,23 @@ if use_pallas39:
 else:
     tp39, n_err39, counts_maxdiff, agree39 = 0.0, -1, -1, -1.0
 
+# flow diagnostics on the nr=39 grid through the fused kernel (r5:
+# closed-form per-shell booking, radial.py flow hook; previously flow
+# forced the ~5M/s XLA marching fallback)
+cfg39f = ArtesConfig()
+cfg39f.mode = "spectrum"
+cfg39f.flow_global = True
+cfg39f.flow_theta = True
+det39f = detector_setup(cfg39f, float(atm39.rfront[-1]))
+static39f = _kernel_static(cfg39f, det39f, atm39, False)
+prep39f = build_tables(atm39, cfg39f, det39f, 0, dtype=dtype)
+if pallas_stream.supports(prep39f.tables, static39f) and platform != "cpu":
+    tp_flow, _, (_, n_err_f, _) = measure(
+        pallas_stream.run_stream_pallas, static39f, prep39f,
+        min(n_photons, 1 << 25), 37, PALLAS_WIDTH)
+else:
+    tp_flow = 0.0
+
 # BASELINE #4-class 3-D grid at reference-like resolution (VERDICT r4 item
 # 2): 39 x 8 x 8 = 2,496 cells, patchy theta/phi cloud zones confined to an
 # 8-shell deck over a clear column — the shape the reference's zone painter
@@ -221,6 +238,7 @@ print(json.dumps({
     "grid3d_2496_counts_maxdiff": grid3_counts_maxdiff,
     "grid3d_2496_I_rel_vs_xla": agree3,
     "grid3d_2496_n_error": n_err3,
+    "flow_throughput": tp_flow,
     "thermal_throughput": tp_th,
     "thermal_n_error": n_err_t,
     "detector_I_raw": float(np.asarray(out["detector"], np.float64)[:, 0, 0].sum()),
@@ -288,6 +306,7 @@ def main():
         "grid3d_2496_counts_maxdiff": result.get("grid3d_2496_counts_maxdiff"),
         "grid3d_2496_I_rel_vs_xla": result.get("grid3d_2496_I_rel_vs_xla"),
         "grid3d_2496_n_error": result.get("grid3d_2496_n_error"),
+        "flow_throughput": result.get("flow_throughput", 0.0),
         "thermal_throughput": result.get("thermal_throughput", 0.0),
         "detector_I_raw": result["detector_I_raw"],
         "device": result["device"],

@@ -60,3 +60,43 @@ def test_flow_outputs_written(tmp_path):
     norms = np.linalg.norm(fg, axis=-1)
     ok = norms > 0
     np.testing.assert_allclose(norms[ok], 1.0, rtol=1e-12)
+
+
+def test_flow_pallas_matches_xla_closed_form():
+    """Flow diagnostics through the fused Pallas kernel (VERDICT r4 item 6):
+    the closed-form radial flow hook (radial.py) is shared by both kernels,
+    so the per-shell tallies agree to f32 summation order on identical
+    photon streams."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from artes_tpu.runner import _kernel_static
+    from artes_tpu.transport import pallas_stream as P
+    from artes_tpu.transport.kernel import run_stream
+    from artes_tpu.transport.tables import build_tables
+
+    atm = presets.rayleigh_single_layer(tau=3.0, nr=4)
+    cfg = ArtesConfig()
+    cfg.mode = "spectrum"
+    cfg.flow_global = True
+    cfg.flow_theta = True
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    assert P.supports(prep.tables, static)
+
+    n, width, seed = 500, 256, 11
+    ref = run_stream(prep.tables, static, n, seed, width)
+    out = P.run_stream_pallas(prep.tables, static, n, seed, width,
+                              interpret=True)
+    fg_r = np.asarray(ref["flow_global"], np.float64)
+    fg_p = np.asarray(out["flow_global"], np.float64)
+    ft_r = np.asarray(ref["flow_theta"], np.float64)
+    ft_p = np.asarray(out["flow_theta"], np.float64)
+    scale = max(np.abs(fg_r).max(), 1e-30)
+    np.testing.assert_allclose(fg_p, fg_r, rtol=2e-3, atol=2e-3 * scale)
+    np.testing.assert_allclose(ft_p, ft_r, rtol=2e-3,
+                               atol=2e-3 * max(ft_r.max(), 1e-30))
+    # detector parity still holds with the flow machinery active
+    np.testing.assert_array_equal(
+        np.asarray(out["detector"])[..., 2], np.asarray(ref["detector"])[..., 2])
