@@ -7,8 +7,8 @@ against a compute ceiling in the hundreds of millions). This module compiles
 the *entire* pool loop — refill, emission, scattering, the transport march,
 the detector peel walk and the splat — into a single Pallas kernel whose
 state lives in VMEM, eliminating the HBM round-trips. Measured on TPU v5e
-(r3): 78-86M photons/s reflected-light spectrum, 91M thermal, 36M for a
-25x25 imaging detector — 20-100x the XLA pool.
+(r5): 106-123M photons/s reflected-light spectrum, 267M+ thermal, 87M for
+a 25x25 imaging detector (26M at 101x101) — 20-100x the XLA pool.
 
 Semantics: bit-identical photon streams to ``run_stream`` (same hand-rolled
 threefry2x32, same per-lane event-history draw-site schedule, same geometry
@@ -39,10 +39,11 @@ Scope (everything else falls back to ``run_stream``; see :func:`supports`):
   over those cells (see :class:`MixTables` — per-cell matrix content
   dedupes to a handful of mixtures in every realistic atmosphere, so
   matrix/CDF gathers cost O(n_mix), not O(ncell)),
-* detectors up to 16384 pixels: single-pixel runs accumulate in-kernel;
-  multi-pixel runs use the SEGMENTED form — state rides through aliased
-  refs, scatter-peel records stream out, and one fused device program
-  (lax.while_loop over segments) flushes ~1M records per XLA one-hot einsum,
+* detectors up to 16384 pixels, all accumulated IN-KERNEL: single-pixel
+  runs as per-lane tiles, multi-pixel images as VMEM-resident detector
+  rows fed by an MXU one-hot dot per pool-row per round (counts exact,
+  Stokes values as a bf16 hi/lo split at f32-roundoff fidelity — see the
+  splat block in ``_build_kernel``),
 * Lambert surfaces (any ``surface_albedo``): the march stops at a
   reflection and the next round runs the surface NEE + resumes the march
   with the banked tau budget on the same draw-site schedule,
@@ -126,8 +127,8 @@ class PallasSpec:
     scat_reps: tuple
     n_distinct: int
     alpha_active: tuple  # indices of nonzero alpha-CDF weight rows
-    nx: int = 1          # detector pixels (imaging runs through the
-    ny: int = 1          # segmented kernel + XLA record flush)
+    nx: int = 1          # detector pixels (multi-pixel images accumulate
+    ny: int = 1          # in-kernel via the MXU one-hot splat)
     thermal: bool = False    # planet source: emissivity-CDF emission,
     emission: int = 1        # birth peel, flux tallies; 1 iso / 2 biased
     ntheta: int = 1          # 3-D grids: theta cones/z=0 plane + phi
@@ -486,17 +487,20 @@ def _sf_layout(spec: PallasSpec) -> dict:
     return lay
 
 
-def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
+def _build_kernel(spec: PallasSpec, width: int):
     """Construct the Pallas kernel body for one (spec, width).
 
-    ``seg_k`` switches to the SEGMENTED multi-pixel form: the pool state
-    rides in via 21 input refs and out via 21 output refs, the loop runs at
-    most ``seg_k`` rounds, and instead of in-kernel accumulators the kernel
-    emits per-round scatter-peel RECORDS (pixel id + weighted Stokes) that
-    the host wrapper flushes through one large XLA one-hot einsum — building
-    a (lanes, npix) one-hot inside Mosaic is pathologically slow (measured
-    460-880 us/round: inserting a minor dim relayouts every element), while
-    the XLA einsum runs at ~340M records/s above 1M records.
+    Single- and multi-pixel detectors both accumulate IN-KERNEL: a single
+    pixel as per-lane (RR, C) tiles summed once at the end; a multi-pixel
+    image as VMEM-resident feature-major detector rows fed by one MXU
+    one-hot dot per pool-row per round (see the splat block in ``body``).
+    The r3/r4 segmented form — pool state round-tripped through aliased
+    refs, scatter-peel records streamed out and flushed through an XLA
+    (records, npix) one-hot einsum — is gone: its flush was HBM-bound on
+    the one-hot materialisation (O(record slots x npix) bytes, the
+    imaging bottleneck), while the in-kernel dot splat is MXU-bound and
+    20-100x cheaper per record (measured: 25x25 imaging 55.6 -> 87M
+    photons/s, 101x101 8.5 -> 26.5M on TPU v5e).
     """
     C = 128
     RR = width // C
@@ -504,6 +508,20 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
     NT = spec.ntheta
     NP = spec.nphi
     NC = nr * NT * NP               # flat cell count for per-cell tables
+    NPIX = spec.nx * spec.ny
+    # in-kernel MXU splat geometry (multi-pixel detectors): the
+    # detector lives in VMEM as feature-major (10*NRP, 128) rows — groups
+    # [cnt0, cnt_full, I, Q, U, V, I2, Q2, U2, V2], each (NRP, C) with
+    # pixel p at (row p>>7, lane p&127)
+    NROWS = -(-NPIX // C)
+    NRP = max(-(-NROWS // 8) * 8, 8)
+    # Stokes values ride the MXU as a bf16 hi/lo(/lo2) split: 3-way keeps
+    # every contribution at f32-roundoff (<=1 ulp), used up to 2048 px;
+    # larger detectors drop to 2-way (~1e-5 relative per contribution,
+    # ~300x below MC noise at realistic photon counts). Counts are 0/1 —
+    # exact in bf16 — and squares (MC error bars) take a single bf16 copy
+    # (~0.4% per contribution, averaging to ~0.4%/sqrt(N) on the bar).
+    VSPLIT = 3 if NPIX <= 2048 else 2
     nm = spec.n_mix
     ax, by, cz = spec.ob
     a2, b2, c2 = ax * ax, by * by, cz * cz
@@ -534,20 +552,11 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
     RADIAL = _radial_closed(spec)          # closed-form walks (radial.py)
     JUMPS3D = _jumps3d(spec)               # 3-D jump walks (jumps.py)
 
-    # pool-state fields round-tripped through refs in segmented mode
-    _STATE = ("stage", "pid", "ctr", "px", "py", "pz", "dx", "dy", "dz",
-              "sI", "sQ", "sU", "sV", "cr", "ct", "cp", "fax", "fidx",
-              "tau_first", "pre_surface", "n_scat")
-
     def kernel(sf, si, coarse, gt, lt_c, lt_r, *rest):
-        if seg_k is None:
-            outf, outi = rest
+        if NPIX > 1:
+            outf, outi, outd = rest
         else:
-            st_in = rest[:21]
-            st_out = rest[21:42]
-            outf = rest[42]
-            outi = rest[43]
-            rec_refs = rest[44:49]     # pix, I, Q, U, V
+            outf, outi = rest
         n_photons = si[0]
         seed = si[1]       # pre-mixed with the id high word (rng.key_hi)
         id_lo = si[2]      # low word of the chunk's first global photon id
@@ -587,6 +596,11 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         # gt rows; Mosaic hoists them out of the pool loop) ----
         gbc = [jnp.broadcast_to(gt[r:r + 1, :], dshape)
                for r in range(lay["_total"])]
+
+        if NPIX > 1:
+            # splat one-hot comparands (loop-invariant)
+            iota_m = jax.lax.broadcasted_iota(i32, (NRP, C), 0)
+            iota_c = jax.lax.broadcasted_iota(i32, (C, C), 0)
 
         def lane_gather(row0, nch, idx):
             """table[idx] for a table spread over gt rows row0..row0+nch-1."""
@@ -1424,11 +1438,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             return ct_, cp_
 
         # ---- the pool loop ----
-        if seg_k is None:
-            round_cap = (n_photons // u32(width) + u32(2)) \
-                * u32(spec.max_scatter + 4)
-        else:
-            round_cap = u32(seg_k)     # segment-local round budget
+        round_cap = (n_photons // u32(width) + u32(2)) \
+            * u32(spec.max_scatter + 4)
 
         def cond(c):
             return ((c["n_emitted"] < n_photons) | (c["n_active"] > 0)) \
@@ -1653,8 +1664,8 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 peel = tau_walk(px, py, pz, pdx, pdy, pdz, cr, ct, cp,
                                 fax, fidx, peel_active)
 
-            # scatter-peel splat: in-kernel accumulators (single pixel) or
-            # per-round records for the XLA flush (segmented multi-pixel).
+            # scatter-peel splat: per-lane accumulators (single pixel) or
+            # the in-kernel MXU one-hot splat (multi-pixel).
             # Thermal birth peel (ARTES.f90:4519-4598): Stokes-I only, weight
             # e^-tau/(4 pi) — a lane is either LIVE or BIRTH_PEEL, so both
             # share one record slot, first-only records marked by pix+npix.
@@ -1678,7 +1689,74 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 ok_s = surf & (cosang > 0.0) & peel["exited"] \
                     & (peel["tau"] < 50.0) & ~peel["err"] & pix_ok
                 sIc = w_peel * cosang * np.float32(1.0 / np.pi) * sI
-            if seg_k is None:
+            if NPIX > 1:
+                # ---- in-kernel MXU one-hot splat (r5) ----
+                # Per pool-row: an (NRP, C) detector-row one-hot and a
+                # (C, C) column one-hot; all peel features stacked into one
+                # A matrix (counts exact bf16, Stokes values hi/lo split,
+                # squares single bf16) and routed with ONE MXU dot per
+                # pool-row into the VMEM-resident detector rows. Replaces
+                # the r3/r4 segmented record stream + XLA one-hot flush,
+                # whose HBM one-hot materialisation was the imaging
+                # bottleneck (O(record slots x npix) bytes); the dot costs
+                # ~2.5 us/round at 625 px, ~14 us at 10201 px (measured,
+                # tools/probe_splat.py).
+                vI = jnp.where(ok, pcI * w_peel, 0.0)
+                cnt0 = ok
+                if spec.thermal:
+                    vI = vI + jnp.where(ok_b, bI, 0.0)
+                    cnt0 = cnt0 | ok_b
+                if spec.surface:
+                    vI = vI + jnp.where(ok_s, sIc, 0.0)
+                    cnt0 = cnt0 | ok_s
+                vQ = jnp.where(ok, pcQ * w_peel, 0.0)
+                vU = jnp.where(ok, pcU * w_peel, 0.0)
+                vV = jnp.where(ok, pcV * w_peel, 0.0)
+                vals = (vI, vQ, vU, vV)
+                sqs = (vI * vI, vQ * vQ, vU * vU, vV * vV)
+                cnt0f = cnt0.astype(f32)
+                cntff = ok.astype(f32)
+                pe = jnp.where(cnt0, pix, -1)
+                pm = pe >> 7            # arithmetic: masked lanes row -1
+                pcol = pe - pm * 128
+                contrib = None
+                for r in range(RR):
+                    ohrow = (iota_m == jnp.broadcast_to(
+                        pm[r:r + 1, :], (NRP, C))).astype(f32)
+                    oht = (iota_c == jnp.broadcast_to(
+                        pcol[r:r + 1, :], (C, C))).astype(jnp.bfloat16)
+                    parts = [(ohrow * cnt0f[r:r + 1, :]).astype(jnp.bfloat16),
+                             (ohrow * cntff[r:r + 1, :]).astype(jnp.bfloat16)]
+                    resid = []
+                    for v in vals:
+                        a = ohrow * v[r:r + 1, :]        # exact: 0/1 * f32
+                        hi = a.astype(jnp.bfloat16)
+                        parts.append(hi)
+                        resid.append(a - hi.astype(f32))
+                    for _s in range(2, VSPLIT + 1):
+                        nxt = []
+                        for a in resid:
+                            hi = a.astype(jnp.bfloat16)
+                            parts.append(hi)
+                            nxt.append(a - hi.astype(f32))
+                        resid = nxt
+                    for q in sqs:
+                        parts.append((ohrow * q[r:r + 1, :])
+                                     .astype(jnp.bfloat16))
+                    A = jnp.concatenate(parts, axis=0)
+                    d = jax.lax.dot_general(A, oht, (((1,), (1,)), ((), ())),
+                                            preferred_element_type=f32)
+                    contrib = d if contrib is None else contrib + d
+                # fold the hi/lo split groups back into the value rows
+                base = contrib[:2 * NRP]
+                valrows = contrib[2 * NRP:6 * NRP]
+                for s in range(1, VSPLIT):
+                    o = (2 + 4 * s) * NRP
+                    valrows = valrows + contrib[o:o + 4 * NRP]
+                sqrows = contrib[(2 + 4 * VSPLIT) * NRP:]
+                detacc = c["detacc"] + jnp.concatenate(
+                    [base, valrows, sqrows], axis=0)
+            else:
                 vI = jnp.where(ok, pcI * w_peel, 0.0)
                 if spec.thermal:
                     vI = vI + jnp.where(ok_b, bI, 0.0)
@@ -1699,25 +1777,6 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
                 accN = c["accN"] + ok.astype(i32)
                 accNI = c["accNI"] + (ok_b.astype(i32) if spec.thermal else 0) \
                     + (ok_s.astype(i32) if spec.surface else 0)
-            else:
-                # ref stores at a dynamic row offset (Mosaic has no value
-                # dynamic_update_slice); refs were -1/zero-filled up front,
-                # so early-exit segments leave only empty records behind
-                slot = (c["round"] * u32(RR)).astype(i32)
-                npx = spec.nx * spec.ny
-                rpix_v = jnp.where(ok, pix, -1)
-                r_I = jnp.where(ok, pcI * w_peel, 0.0)
-                if spec.thermal:
-                    rpix_v = jnp.where(ok_b, pix + npx, rpix_v)
-                    r_I = r_I + jnp.where(ok_b, bI, 0.0)
-                if spec.surface:
-                    rpix_v = jnp.where(ok_s, pix + npx, rpix_v)
-                    r_I = r_I + jnp.where(ok_s, sIc, 0.0)
-                rec_refs[0][pl.ds(slot, RR), :] = rpix_v
-                rec_refs[1][pl.ds(slot, RR), :] = r_I
-                rec_refs[2][pl.ds(slot, RR), :] = jnp.where(ok, pcQ * w_peel, 0.0)
-                rec_refs[3][pl.ds(slot, RR), :] = jnp.where(ok, pcU * w_peel, 0.0)
-                rec_refs[4][pl.ds(slot, RR), :] = jnp.where(ok, pcV * w_peel, 0.0)
 
             # ---- birth-peel results -> PREWALK (thermal) ----
             nb0_err = jnp.zeros(dshape, jnp.bool_)
@@ -1795,7 +1854,9 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             )
             if spec.flow:
                 out.update(flow_new)
-            if seg_k is None:
+            if NPIX > 1:
+                out.update(detacc=detacc)
+            else:
                 out.update(accI=accI, accQ=accQ, accU=accU, accV=accV,
                            accI2=accI2, accQ2=accQ2, accU2=accU2, accV2=accV2,
                            accN=accN, accNI=accNI)
@@ -1808,32 +1869,25 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
             n_active=jnp.asarray(0, i32),
             round=u32(0),
         )
-        if seg_k is None:
+        init.update(
+            stage=zi, pid=zu, ctr=zu,
+            px=zf, py=zf, pz=zf,
+            dx=zf + 1.0, dy=zf, dz=zf,
+            sI=zf, sQ=zf, sU=zf, sV=zf,
+            cr=zi, ct=zi, cp=zi, fax=zi, fidx=zi,
+            tau_first=zf, pre_surface=zi, n_scat=zi,
+            n_emitted=u32(0))
+        if NPIX > 1:
+            init.update(detacc=jnp.zeros((10 * NRP, C), f32))
+        else:
             init.update(
-                stage=zi, pid=zu, ctr=zu,
-                px=zf, py=zf, pz=zf,
-                dx=zf + 1.0, dy=zf, dz=zf,
-                sI=zf, sQ=zf, sU=zf, sV=zf,
-                cr=zi, ct=zi, cp=zi, fax=zi, fidx=zi,
-                tau_first=zf, pre_surface=zi, n_scat=zi,
                 accI=zf, accQ=zf, accU=zf, accV=zf,
                 accI2=zf, accQ2=zf, accU2=zf, accV2=zf,
-                accN=zi, accNI=zi, n_emitted=u32(0))
-            if spec.flow:
-                FR = -(-nr // 8) * 8
-                init.update({("flow" + k_): jnp.zeros((FR, 128), f32)
-                             for k_ in ("g0", "g1", "g2", "t0", "t1")})
-        else:
-            for name, ref in zip(_STATE, st_in):
-                init[name] = ref[...]
-            init["n_emitted"] = si[3]
-            # the segment starts with every lane carried over as alive-ish;
-            # n_active only matters for the cond and is recomputed per round
-            init["n_active"] = jnp.sum(
-                (init["stage"] != STAGE_DEAD).astype(i32), dtype=i32)
-            rec_refs[0][...] = jnp.full((seg_k * RR, C), -1, i32)
-            for e in range(1, 5):
-                rec_refs[e][...] = jnp.zeros((seg_k * RR, C), f32)
+                accN=zi, accNI=zi)
+        if spec.flow:
+            FR = -(-nr // 8) * 8
+            init.update({("flow" + k_): jnp.zeros((FR, 128), f32)
+                         for k_ in ("g0", "g1", "g2", "t0", "t1")})
 
         fin = jax.lax.while_loop(cond, body, init)
 
@@ -1843,11 +1897,11 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         floats = ([jnp.sum(fin[k], dtype=f32) for k in
                    ("accI", "accQ", "accU", "accV",
                     "accI2", "accQ2", "accU2", "accV2")]
-                  if seg_k is None else [jnp.zeros((), f32)] * 8)
+                  if NPIX == 1 else [jnp.zeros((), f32)] * 8)
         floats += [fin["accFluxM"], fin["accFluxX"]]
         for e, v in enumerate(floats):
             outv = jnp.where((row == 0) & (lane == e), v, outv)
-        if seg_k is None and spec.flow:
+        if spec.flow:
             # final cross-lane reduction of the per-shell partials, once:
             # rows 1-3 (flow_global, m*3+c) and 4-5 (flow_theta, m*2+col)
             FR = -(-nr // 8) * 8
@@ -1871,63 +1925,39 @@ def _build_kernel(spec: PallasSpec, width: int, seg_k: int | None = None):
         ints = [jnp.sum(fin["accErr"], dtype=i32), jnp.sum(fin["acc031"], dtype=i32),
                 jnp.sum(fin["acc032"], dtype=i32), jnp.sum(fin["acc034"], dtype=i32),
                 jnp.sum(fin["accPeel"], dtype=i32), jnp.sum(fin["accCap"], dtype=i32),
-                (jnp.sum(fin["accN"], dtype=i32) if seg_k is None
-                 else jnp.asarray(0, i32)),
+                (jnp.sum(fin["accN"], dtype=i32)
+                 if NPIX == 1 else jnp.asarray(0, i32)),
                 fin["n_emitted"].astype(i32), fin["round"].astype(i32),
                 ((fin["n_emitted"] >= n_photons)
                  & (fin["n_active"] == 0)).astype(i32),
-                (jnp.sum(fin["accNI"], dtype=i32) if seg_k is None
-                 else jnp.asarray(0, i32))]
+                (jnp.sum(fin["accNI"], dtype=i32)
+                 if NPIX == 1 else jnp.asarray(0, i32))]
         for e, v in enumerate(ints):
             outw = jnp.where((row == 0) & (lane == e), v, outw)
         outi[...] = outw
 
-        if seg_k is not None:
-            for name, ref in zip(_STATE, st_out):
-                ref[...] = fin[name]
+        if NPIX > 1:
+            outd[...] = fin["detacc"]
 
     return kernel
 
 
 _FN_CACHE: dict = {}
 
-# per-lane pool state round-tripped through the segmented kernel:
-# (name, dtype) in kernel _STATE order
-_STATE_DTYPES = (i32, u32, u32, f32, f32, f32, f32, f32, f32,
-                 f32, f32, f32, f32, i32, i32, i32, i32, i32, f32, i32, i32)
 
-SEG_ROUNDS = 32          # rounds per segment (record carry = 5x this x width;
-                         # r4 sweep: 32 beats 16 by ~10% at small detectors)
-SEG_FLUSH = 4            # segments per XLA record flush (~1M record slots)
-SEG_CHECK = 32           # segments between host-side done-flag checks
-
-
-def _get_fn(spec: PallasSpec, width: int, interpret: bool,
-            seg_k: int | None = None):
-    key = (spec, width, interpret, seg_k)
+def _get_fn(spec: PallasSpec, width: int, interpret: bool):
+    key = (spec, width, interpret)
     if key not in _FN_CACHE:
-        kern = _build_kernel(spec, width, seg_k)
-        RR = width // 128
-        if seg_k is None:
-            out_shape = (jax.ShapeDtypeStruct((8, 128), f32),
-                         jax.ShapeDtypeStruct((8, 128), i32))
-            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 \
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-            aliases = {}
-        else:
-            state_sds = tuple(jax.ShapeDtypeStruct((RR, 128), dt)
-                              for dt in _STATE_DTYPES)
-            out_shape = state_sds + (
-                jax.ShapeDtypeStruct((8, 128), f32),
-                jax.ShapeDtypeStruct((8, 128), i32),
-                jax.ShapeDtypeStruct((seg_k * RR, 128), i32),
-                jax.ShapeDtypeStruct((seg_k * RR, 128), f32),
-                jax.ShapeDtypeStruct((seg_k * RR, 128), f32),
-                jax.ShapeDtypeStruct((seg_k * RR, 128), f32),
-                jax.ShapeDtypeStruct((seg_k * RR, 128), f32))
-            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 \
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 21)
-            aliases = {6 + i: i for i in range(21)}
+        kern = _build_kernel(spec, width)
+        out_shape = (jax.ShapeDtypeStruct((8, 128), f32),
+                     jax.ShapeDtypeStruct((8, 128), i32))
+        npix = spec.nx * spec.ny
+        if npix > 1:
+            nrows = -(-npix // 128)
+            nrp = max(-(-nrows // 8) * 8, 8)
+            out_shape += (jax.ShapeDtypeStruct((10 * nrp, 128), f32),)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 \
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
         # the default 16 MB scoped-VMEM budget is exceeded by ~1% once the
         # 3-D jump-walk diff tables join the broadcast table stack at
         # width 8192; v5e has headroom well beyond the default cap
@@ -1939,7 +1969,6 @@ def _get_fn(spec: PallasSpec, width: int, interpret: bool,
             in_specs=in_specs,
             out_specs=jax.tree.map(
                 lambda _: pl.BlockSpec(memory_space=pltpu.VMEM), out_shape),
-            input_output_aliases=aliases,
             interpret=interpret,
             compiler_params=params,
         )
@@ -2162,27 +2191,45 @@ def _unpack_pool_out(outf, outi, spec=None):
     }
 
 
+def _detector_from_rows(outd, spec):
+    """(npix, 4, 3) detector from the in-kernel splat rows (ONE f32 fetch).
+
+    Row groups (each NRP sublanes, pixel p at (p>>7, p&127)):
+    [cnt0, cnt_full, I, Q, U, V, I2, Q2, U2, V2]. Counts are integer-valued
+    f32 (exact to 2^24); component 0 counts include first-only events
+    (thermal birth / surface peels), matching kernel.py _splat."""
+    npix = spec.nx * spec.ny
+    nrp = outd.shape[0] // 10
+    da = np.asarray(outd, np.float32).reshape(10, nrp * 128)[:, :npix]
+    det = np.zeros((npix, 4, 3), np.float32)
+    det[:, :, 0] = da[2:6].T
+    det[:, :, 1] = da[6:10].T
+    det[:, 0, 2] = da[0]
+    det[:, 1:, 2] = da[1][:, None]
+    return det
+
+
 def run_stream_pallas(tables, static, n_photons, seed, width: int,
                       id_hi=0, id_lo=0, interpret: bool = False):
     """Drop-in for :func:`kernel.run_stream` on supported configs.
 
     Requires concrete (non-traced) tables — the wrapper specialises the
     kernel on grid shape and scattering-matrix structure eagerly. Multi-pixel
-    detectors run through the segmented kernel + XLA record flush.
+    detectors accumulate in-kernel via the MXU one-hot splat (detector rows
+    live in VMEM; see _build_kernel).
     """
     spec, mt = make_spec(tables, static)
     if width % 128 != 0:
         raise ValueError("width must be a multiple of 128")
-    if spec.nx * spec.ny > 1:
-        return _run_segmented(tables, static, spec, mt, n_photons,
-                              seed, width, id_hi, id_lo, interpret)
     sf, si, coarse, gt = _pack_inputs(tables, spec, mt,
                                       n_photons, seed, id_hi, id_lo)
     lt_c = np.tril(np.ones((128, 128), np.float32), -1).T
     lt_r = np.tril(np.ones((width // 128, width // 128), np.float32), -1)
-    outf, outi = _get_fn(spec, width, interpret)(sf, si, coarse, gt,
-                                                 lt_c, lt_r)
-    return _unpack_pool_out(outf, outi, spec)
+    out = _get_fn(spec, width, interpret)(sf, si, coarse, gt, lt_c, lt_r)
+    res = _unpack_pool_out(out[0], out[1], spec)
+    if spec.nx * spec.ny > 1:
+        res["detector"] = _detector_from_rows(out[2], spec)
+    return res
 
 
 def _device_si(n_photons, seed, id_hi, id_lo, n_dev):
@@ -2214,14 +2261,15 @@ def _get_mesh_fn(spec: PallasSpec, width: int, interpret: bool, mesh,
     from jax.sharding import PartitionSpec as P
 
     fn = _get_fn(spec, width, interpret)
+    n_out = 3 if spec.nx * spec.ny > 1 else 2
 
     @jax.jit
     @_partial(jax.shard_map, mesh=mesh,
               in_specs=(P(), P(axis), P(), P(), P(), P()),
-              out_specs=(P(), P()), check_vma=False)
+              out_specs=(P(),) * n_out, check_vma=False)
     def stepped(sf, si_dev, coarse, gt, lt_c, lt_r):
-        outf, outi = fn(sf, si_dev[0], coarse, gt, lt_c, lt_r)
-        return (jax.lax.psum(outf, axis), jax.lax.psum(outi, axis))
+        out = fn(sf, si_dev[0], coarse, gt, lt_c, lt_r)
+        return tuple(jax.lax.psum(o, axis) for o in out)
 
     _FN_CACHE[key] = stepped
     return stepped
@@ -2244,218 +2292,15 @@ def run_stream_pallas_mesh(tables, static, n_photons, seed, width: int,
     if width % 128 != 0:
         raise ValueError("width must be a multiple of 128")
     n_dev = int(mesh.devices.size)
-    if spec.nx * spec.ny > 1:
-        return _run_segmented_mesh(tables, static, spec, mt, n_photons,
-                                   seed, width, mesh, axis_name,
-                                   id_hi, id_lo, interpret)
     sf, _, coarse, gt = _pack_inputs(tables, spec, mt,
                                      n_photons, seed, id_hi, id_lo)
     si_dev = _device_si(n_photons, seed, id_hi, id_lo, n_dev)
     lt_c = np.tril(np.ones((128, 128), np.float32), -1).T
     lt_r = np.tril(np.ones((width // 128, width // 128), np.float32), -1)
     stepped = _get_mesh_fn(spec, width, interpret, mesh, axis_name)
-    outf, outi = stepped(sf, si_dev, coarse, gt, lt_c, lt_r)
-    return _unpack_pool_out(outf, outi, spec)
+    out = stepped(sf, si_dev, coarse, gt, lt_c, lt_r)
+    res = _unpack_pool_out(out[0], out[1], spec)
+    if spec.nx * spec.ny > 1:
+        res["detector"] = _detector_from_rows(out[2], spec)
+    return res
 
-
-def _init_state(width):
-    """Initial pool state (all lanes DEAD), kernel _STATE order."""
-    RR = width // 128
-    zf = jnp.zeros((RR, 128), f32)
-    zi = jnp.zeros((RR, 128), i32)
-    zu = jnp.zeros((RR, 128), u32)
-    return [zi, zu, zu, zf, zf, zf, zf + 1.0, zf, zf,
-            zf, zf, zf, zf, zi, zi, zi, zi, zi, zf, zi, zi]
-
-
-def _flush_arrays(npix, detector, rbufs):
-    """Bin record buffers ((S, K*RR, C) pix + 4 Stokes) into the detector via
-    one (N, npix) one-hot einsum (see kernel._flush_records).
-
-    Records with pix >= npix are FIRST-ONLY (thermal birth peels): Stokes I
-    plus a component-0 count, no Q/U/V moments (ARTES.f90:4583-4585)."""
-    pix = rbufs[0].reshape(-1)
-    cols = [rbufs[e].reshape(-1) for e in (1, 2, 3, 4)]
-    valid = pix >= 0
-    is_first = pix >= npix
-    p = jnp.where(is_first, pix - npix, pix)
-    cnt_full = (valid & ~is_first).astype(f32)
-    cnt0 = valid.astype(f32)
-    # features as CONTIGUOUS rows (f, N), not an interleaved (N, 12) stack:
-    # minor-axis stacks relayout every element on TPU and dominated the
-    # flush time; row-major concat is plain copies and the (f b),(b p)
-    # contraction feeds the MXU the same numbers
-    feats = jnp.stack(cols + [c * c for c in cols]
-                      + [cnt0, cnt_full, cnt_full, cnt_full], axis=0)
-    oh = (p[:, None] == jnp.arange(npix)[None, :]).astype(f32)
-    contrib = jnp.einsum("fb,bp->fp", feats, oh, preferred_element_type=f32)
-    # rows: I,Q,U,V, I2,Q2,U2,V2, n0..n3 -> (npix, 4 stokes, 3 moments)
-    return detector + contrib.reshape(3, 4, npix).transpose(2, 1, 0)
-
-
-def _get_driver(spec: PallasSpec, width: int, interpret: bool):
-    """One fused device program for a whole imaging run: lax.while_loop over
-    segments, each iteration = one Pallas pool segment + record buffering +
-    a conditional ~1M-record einsum flush. A single host dispatch — per-call
-    RPC overhead through the tunneled device (~tens of ms) made host-driven
-    segment loops 20x slower than the compute itself."""
-    key = (spec, width, interpret, "seg-driver")
-    if key in _FN_CACHE:
-        return _FN_CACHE[key]
-    fn = _get_fn(spec, width, interpret, seg_k=SEG_ROUNDS)
-    npix = spec.nx * spec.ny
-    RR = width // 128
-    S = SEG_FLUSH
-
-    @jax.jit
-    def driver(sf, si0, coarse, gt, lt_c, lt_r, state0, max_seg):
-        z0 = jnp.zeros((), i32)
-
-        def cond(c):
-            return (~c["done"]) & (c["seg"] < max_seg)
-
-        def body(c):
-            out = fn(sf, c["si"], coarse, gt, lt_c, lt_r, *c["state"])
-            state = tuple(out[:21])
-            outf = out[21]
-            outi = out[22]
-            recs = out[23:28]
-            slot = c["seg"] % S
-            rb = tuple(jax.lax.dynamic_update_slice(b, r[None], (slot, z0, z0))
-                       for b, r in zip(c["recbuf"], recs))
-
-            def do_flush(args):
-                det, rbufs = args
-                det = _flush_arrays(npix, det, rbufs)
-                return det, (jnp.full_like(rbufs[0], -1),) + rbufs[1:]
-
-            det, rb = jax.lax.cond(slot == S - 1, do_flush, lambda a: a,
-                                   (c["det"], rb))
-            si = jnp.stack([si0[0], si0[1], si0[2], outi[0, 7].astype(u32)])
-            return dict(
-                state=state, si=si, det=det, recbuf=rb,
-                tall=c["tall"] + outi[0, :7],
-                flux=c["flux"] + outf[0, 8:10],
-                rounds=c["rounds"] + outi[0, 8],
-                done=outi[0, 9] != 0,
-                n_emitted=outi[0, 7],
-                seg=c["seg"] + 1)
-
-        init = dict(
-            state=tuple(state0), si=si0,
-            det=jnp.zeros((npix, 4, 3), f32),
-            recbuf=(jnp.full((S, SEG_ROUNDS * RR, 128), -1, i32),)
-            + tuple(jnp.zeros((S, SEG_ROUNDS * RR, 128), f32)
-                    for _ in range(4)),
-            tall=jnp.zeros(7, i32), flux=jnp.zeros(2, f32),
-            rounds=z0, done=jnp.zeros((), bool), n_emitted=jnp.zeros((), i32),
-            seg=z0)
-        fin = jax.lax.while_loop(cond, body, init)
-        det = _flush_arrays(npix, fin["det"], fin["recbuf"])
-        return (det, fin["tall"], fin["flux"], fin["rounds"],
-                fin["n_emitted"], fin["done"], fin["seg"])
-
-    _FN_CACHE[key] = driver
-    return driver
-
-
-def _seg_result(det, tall, flux, rounds, n_emitted):
-    """Segmented-run result dict in TWO device->host round trips (the
-    detector image and one packed scalar vector)."""
-    import jax
-
-    # pack in the INT domain (see _unpack_pool_out: the tunnel
-    # canonicalizes f32 payloads, zeroing bitcast int rows)
-    ints_dev = jnp.concatenate([
-        jax.lax.bitcast_convert_type(jnp.asarray(flux, f32).reshape(2), i32),
-        jnp.asarray(tall, i32).reshape(7),
-        jnp.asarray(rounds, i32).reshape(1),
-        jnp.asarray(n_emitted, i32).reshape(1)])
-    det = np.asarray(det)
-    small = np.asarray(ints_dev)
-    flux = small[:2].view(np.float32)
-    ints = small[2:].astype(np.int64)
-    return {
-        "detector": det,
-        "flow_global": np.zeros((1, 3), np.float32),
-        "flow_theta": np.zeros((1, 4), np.float32),
-        "flux_emitted": flux[0],
-        "flux_exit": flux[1],
-        "n_error": int(ints[0]),
-        "error_codes": ints[1:5],
-        "n_alive_at_cap": int(ints[5]),
-        "n_emitted": int(ints[8]),
-        "n_rounds": int(ints[7]),
-    }
-
-
-def _run_segmented(tables, static, spec, mt, n_photons, seed, width,
-                   id_hi, id_lo, interpret):
-    """Imaging runs: segmented pool kernel + on-device XLA record flush."""
-    sf, _, coarse, gt = _pack_inputs(tables, spec, mt,
-                                     n_photons, seed, id_hi, id_lo)
-    lt_c = np.tril(np.ones((128, 128), np.float32), -1).T
-    lt_r = np.tril(np.ones((width // 128, width // 128), np.float32), -1)
-    driver = _get_driver(spec, width, interpret)
-    si0 = np.asarray([np.uint32(int(n_photons)), _key_hi_host(seed, id_hi),
-                      np.uint32(int(id_lo)), np.uint32(0)], np.uint32)
-    max_segments = int((int(n_photons) // width + 2)
-                       * (spec.max_scatter + 4) // SEG_ROUNDS + 2)
-    det, tall, flux, rounds, n_emitted, done, segs = driver(
-        sf, si0, coarse, gt, lt_c, lt_r, tuple(_init_state(width)),
-        np.int32(max_segments))
-    return _seg_result(det, tall, flux, rounds, n_emitted)
-
-
-def _get_mesh_driver(spec: PallasSpec, width: int, interpret: bool, mesh,
-                     axis: str):
-    """Sharded imaging driver: every device runs the full segmented driver
-    (its own while_loop over segments — per-device control flow is legal
-    under shard_map as long as no collectives sit inside it) on its id
-    sub-range; detector/tally outputs psum at the end."""
-    key = (spec, width, interpret, mesh, axis, "seg-mesh")
-    if key in _FN_CACHE:
-        return _FN_CACHE[key]
-    import jax
-    from functools import partial as _partial
-    from jax.sharding import PartitionSpec as P
-
-    driver = _get_driver(spec, width, interpret)
-
-    @jax.jit
-    @_partial(jax.shard_map, mesh=mesh,
-              in_specs=(P(), P(axis), P(), P(), P(), P(), P(), P()),
-              out_specs=(P(),) * 6, check_vma=False)
-    def stepped(sf, si_dev, coarse, gt, lt_c, lt_r, state0, max_seg):
-        det, tall, flux, rounds, n_emitted, done, _segs = driver(
-            sf, si_dev[0], coarse, gt, lt_c, lt_r, state0, max_seg)
-
-        def ps(x):
-            return jax.lax.psum(x, axis)
-
-        return (ps(det), ps(tall), ps(flux), ps(rounds), ps(n_emitted),
-                ps(done.astype(jnp.int32)))
-
-    _FN_CACHE[key] = stepped
-    return stepped
-
-
-def _run_segmented_mesh(tables, static, spec, mt, n_photons, seed, width,
-                        mesh, axis, id_hi, id_lo, interpret):
-    """Multi-device imaging: segmented pool kernel + record flush per device,
-    detector psum over the mesh."""
-    n_dev = int(mesh.devices.size)
-    sf, _, coarse, gt = _pack_inputs(tables, spec, mt,
-                                     n_photons, seed, id_hi, id_lo)
-    si3 = _device_si(n_photons, seed, id_hi, id_lo, n_dev)     # (n_dev, 3)
-    si_dev = np.concatenate([si3, np.zeros((n_dev, 1), np.uint32)], axis=1)
-    lt_c = np.tril(np.ones((128, 128), np.float32), -1).T
-    lt_r = np.tril(np.ones((width // 128, width // 128), np.float32), -1)
-    stepped = _get_mesh_driver(spec, width, interpret, mesh, axis)
-    n_max = -(-int(n_photons) // n_dev)
-    max_segments = int((n_max // width + 2)
-                       * (spec.max_scatter + 4) // SEG_ROUNDS + 2)
-    det, tall, flux, rounds, n_emitted, _n_done = stepped(
-        sf, si_dev, coarse, gt, lt_c, lt_r, tuple(_init_state(width)),
-        np.int32(max_segments))
-    return _seg_result(det, tall, flux, rounds, n_emitted)

@@ -224,12 +224,23 @@ else:
 tp_img, out_i, (det_sum_i, n_err_i, n_cap_i) = measure(
     kern_i, static_i, prep_i, n_img, 23, w_i)
 
+# 101x101 detector (VERDICT r4 item 3): the in-kernel MXU one-hot splat
+# must hold >=25M photons/s even at 10201 pixels
+static_i2, prep_i2 = setup("imaging_mono", npix=101)
+if pallas_stream.supports(prep_i2.tables, static_i2) and platform != "cpu":
+    tp_img101, _, _ = measure(pallas_stream.run_stream_pallas, static_i2,
+                              prep_i2, max(min(n_photons // 8, 1 << 24),
+                                           PALLAS_WIDTH), 41, PALLAS_WIDTH)
+else:
+    tp_img101 = 0.0
+
 print(json.dumps({
     "throughput": tp_spec,
     "kernel": "pallas" if use_pallas else "xla",
     "xla_throughput": tp_xla,
     "pallas_vs_xla_I_rel": agree,
     "imaging_throughput": tp_img,
+    "imaging_throughput_101px": tp_img101,
     "hydrostatic39_throughput": tp39,
     "hydrostatic39_counts_maxdiff": counts_maxdiff,
     "hydrostatic39_I_rel_vs_xla": agree39,
@@ -298,6 +309,7 @@ def main():
         "xla_throughput": result["xla_throughput"],
         "pallas_vs_xla_I_rel": result["pallas_vs_xla_I_rel"],
         "imaging_throughput_25px": result["imaging_throughput"],
+        "imaging_throughput_101px": result.get("imaging_throughput_101px", 0.0),
         "hydrostatic39_throughput": result.get("hydrostatic39_throughput", 0.0),
         "hydrostatic39_counts_maxdiff": result.get("hydrostatic39_counts_maxdiff"),
         "hydrostatic39_I_rel_vs_xla": result.get("hydrostatic39_I_rel_vs_xla"),

@@ -81,7 +81,7 @@ def test_pallas_unsupported_configs():
     det = detector_setup(cfg, float(atm.rfront[-1]))
     static = _kernel_static(cfg, det, atm, False)
     prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
-    assert P.supports(prep.tables, static)          # imaging: segmented path
+    assert P.supports(prep.tables, static)          # imaging: in-kernel splat
 
     atm3 = presets.patchy_3d()
     cfg3 = ArtesConfig()
@@ -103,8 +103,8 @@ def test_pallas_unsupported_configs():
 
 @pytest.mark.slow
 def test_pallas_imaging_matches_run_stream():
-    """Segmented multi-pixel path (VERDICT r2 item 5): counts bit-equal to
-    the XLA kernel per pixel, moments within f32 noise."""
+    """Multi-pixel in-kernel MXU splat: counts bit-equal to the XLA
+    kernel per pixel, moments within f32 noise."""
     atm = presets.rayleigh_single_layer(tau=5.0)
     cfg = ArtesConfig()
     cfg.mode = "imaging_mono"
@@ -222,7 +222,7 @@ def test_pallas_3d_patchy_matches_run_stream():
 
 @pytest.mark.slow
 def test_pallas_3d_phi_zones_imaging():
-    """phi zones + multi-pixel imaging through the segmented kernel."""
+    """phi zones + multi-pixel imaging through the in-kernel splat."""
     atm = presets.patchy_3d(tau_clear=0.5, tau_cloud=6.0,
                             theta_deg=(0.0, 90.0, 180.0),
                             phi_deg=(0.0, 120.0, 240.0))
