@@ -222,17 +222,10 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
                 print(f"  [{100 * start // packages:3d}%] "
                       f"{start:,} / {packages:,} photons",
                       file=sys.stderr, flush=True)
-        if use_pallas and n_error and not error_records:
-            # forensics harvest: the Pallas kernel tallies error codes but
-            # does not capture per-event state; re-run a bounded prefix of
-            # the same photon-id stream through the XLA kernel (identical
-            # draw-site schedule) purely to collect the first-K/last-K
-            # state dumps for error.log. Costs one XLA-speed chunk, only on
-            # runs that actually errored.
-            n_fx = min(packages, 1 << 21)
-            fx = run_stream(prep.tables, static, n_fx, seed,
-                            min(width, 1 << 14), 0, 0)
-            _collect(fx)
+        # (r5) Pallas runs now carry first-class forensics: each lane keeps
+        # its first error's state snapshot in-kernel, decoded into the XLA
+        # ring format by pallas_stream._attach_error_records and picked up
+        # by _collect above — the r4 XLA-prefix re-run harvest is retired.
     else:
         # explicit dispatch (device-mesh sharding, compaction, tests).
         # Photon ids are the low id word; the high word folds into the key,

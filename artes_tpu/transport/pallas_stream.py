@@ -554,9 +554,9 @@ def _build_kernel(spec: PallasSpec, width: int):
 
     def kernel(sf, si, coarse, gt, lt_c, lt_r, *rest):
         if NPIX > 1:
-            outf, outi, outd = rest
+            outf, outi, outd, outei, outef = rest
         else:
-            outf, outi = rest
+            outf, outi, outei, outef = rest
         n_photons = si[0]
         seed = si[1]       # pre-mixed with the id high word (rng.key_hi)
         id_lo = si[2]      # low word of the chunk's first global photon id
@@ -1806,6 +1806,47 @@ def _build_kernel(spec: PallasSpec, width: int):
             accPeel = c["accPeel"] + (peel["err"] & live_surv).astype(i32) \
                 + nb0_err.astype(i32)
 
+            # ---- first-class error forensics (r5, VERDICT r4 item 7):
+            # each lane keeps a state snapshot of the FIRST error it sees
+            # — pure per-lane selects, no cross-pool reductions, no
+            # dynamic indexing — harvested as two extra output tiles the
+            # host only fetches when the tallies report errors. Replaces
+            # the r4 XLA-prefix re-run harvest, which could not dump
+            # errors past the prefix or Mosaic-only trajectory flips.
+            # Mirrors the XLA ring's fields (kernel.py ERR_RECORD_W):
+            # transport errors dump the post-march state, peel/prewalk
+            # errors the walk's input state (ARTES.f90:3397-3416). ----
+            peel_err_l = peel["err"] & live_surv
+            err_new = terr | nb1_err | peel_err_l | nb0_err
+            fresh = err_new & (c["ecode"] == 0)
+            ecode_now = jnp.where(
+                terr,
+                jnp.where(m_out["e031"], 31,
+                          jnp.where(m_out["e034"], 34, 32)),
+                jnp.where(nb1_err, 31, 50))
+            esite_now = jnp.where(terr, jnp.where(fw, 1, 0),
+                                  jnp.where(nb1_err, 2, 3))
+            # packed int fields: [code*8+site]*2^16 + n_scat; cell
+            # (cr + 128*(ct + 64*cp)); face (fax*256 + fidx)
+            epack_now = ((ecode_now * 8 + esite_now) * 65536
+                         + jnp.minimum(n_scat, 65535))
+
+            def _esel(post, pre):
+                return jnp.where(terr, post, pre)
+
+            ecell_now = (_esel(m_out["cr"], cr)
+                         + 128 * (_esel(m_out["ct"], ct)
+                                  + 64 * _esel(m_out["cp"], cp)))
+            eface_now = _esel(m_out["fax"], fax) * 256 \
+                + _esel(m_out["fidx"], fidx)
+            ecode = jnp.where(fresh, epack_now, c["ecode"])
+            epid = jnp.where(fresh, pid, c["epid"])
+            ecell = jnp.where(fresh, ecell_now, c["ecell"])
+            eface = jnp.where(fresh, eface_now, c["eface"])
+            e_f = [jnp.where(fresh, v, c["ef%d" % k]) for k, v in enumerate(
+                (_esel(m_out["px"], px), _esel(m_out["py"], py),
+                 _esel(m_out["pz"], pz), tdx, tdy, tdz, sI))]
+
             # thermal energy bookkeeping (ARTES.f90:607, :780, :953)
             if spec.thermal:
                 flux_ex = jnp.sum(jnp.where(m_out["exited"] & active_t,
@@ -1851,6 +1892,8 @@ def _build_kernel(spec: PallasSpec, width: int):
                 n_emitted=n_emitted,
                 n_active=jnp.sum((stage != STAGE_DEAD).astype(i32), dtype=i32),
                 round=c["round"] + u32(1),
+                ecode=ecode, epid=epid, ecell=ecell, eface=eface,
+                **{"ef%d" % k: v for k, v in enumerate(e_f)},
             )
             if spec.flow:
                 out.update(flow_new)
@@ -1868,6 +1911,8 @@ def _build_kernel(spec: PallasSpec, width: int):
             accFluxM=jnp.zeros((), f32), accFluxX=jnp.zeros((), f32),
             n_active=jnp.asarray(0, i32),
             round=u32(0),
+            ecode=zi, epid=zu, ecell=zi, eface=zi,
+            **{"ef%d" % k: zf for k in range(7)},
         )
         init.update(
             stage=zi, pid=zu, ctr=zu,
@@ -1939,6 +1984,15 @@ def _build_kernel(spec: PallasSpec, width: int):
         if NPIX > 1:
             outd[...] = fin["detacc"]
 
+        # forensics lane snapshots: rows [k*RR, (k+1)*RR) = int field k
+        # (packed code/site/n_scat, pid, cell, face) / float field k
+        # (pos xyz, dir xyz, Stokes I)
+        outei[...] = jnp.concatenate(
+            [fin["ecode"], fin["epid"].astype(i32),
+             fin["ecell"], fin["eface"]], axis=0)
+        outef[...] = jnp.concatenate(
+            [fin["ef%d" % k] for k in range(7)], axis=0)
+
     return kernel
 
 
@@ -1956,6 +2010,9 @@ def _get_fn(spec: PallasSpec, width: int, interpret: bool):
             nrows = -(-npix // 128)
             nrp = max(-(-nrows // 8) * 8, 8)
             out_shape += (jax.ShapeDtypeStruct((10 * nrp, 128), f32),)
+        RR = width // 128
+        out_shape += (jax.ShapeDtypeStruct((4 * RR, 128), i32),
+                      jax.ShapeDtypeStruct((7 * RR, 128), f32))
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 \
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
         # the default 16 MB scoped-VMEM budget is exceeded by ~1% once the
@@ -2209,6 +2266,58 @@ def _detector_from_rows(outd, spec):
     return det
 
 
+def _attach_error_records(res, outei, outef, width, n_dev=1):
+    """Decode the in-kernel forensics snapshots into the XLA ring format.
+
+    Each lane carries its FIRST error's state (code/site/n_scat, pid, cell,
+    face packed in ``outei``; position/direction/Stokes-I in ``outef``) —
+    see the forensics block in ``_build_kernel``. Fetched from the device
+    ONLY when the scalar tallies report errors (clean runs pay nothing).
+    Rows are ordered by photon id (the chronology proxy across lanes) and
+    laid out ring-compatibly for :func:`kernel.order_error_records`, so the
+    runner/output plumbing is shared with the XLA kernel unchanged."""
+    from artes_tpu.transport.kernel import ERR_RECORD_K, ERR_RECORD_W
+
+    n_err = int(res["n_error"]) + int(np.asarray(res["error_codes"]).sum())
+    if n_err == 0:
+        res["error_records"] = np.zeros((0, ERR_RECORD_W))
+        res["n_error_records"] = 0
+        return res
+    RR = width // 128
+    # mesh runs concatenate per-device tiles along axis 0: regroup fields
+    ei = np.asarray(outei).reshape(n_dev, 4, RR * 128).transpose(1, 0, 2) \
+        .reshape(4, n_dev * RR * 128).astype(np.int64)
+    mask = ei[0] != 0
+    ef = np.asarray(outef, np.float64).reshape(n_dev, 7, RR * 128) \
+        .transpose(1, 0, 2).reshape(7, n_dev * RR * 128)[:, mask]
+    packed = ei[0][mask]
+    code = (packed >> 16) // 8
+    site = (packed >> 16) % 8
+    ns = packed & 0xFFFF
+    pid = ei[1][mask].astype(np.uint32).astype(np.float64)
+    cr = ei[2][mask] % 128
+    ct = (ei[2][mask] // 128) % 64
+    cp = ei[2][mask] // (128 * 64)
+    fax = ei[3][mask] // 256
+    fidx = ei[3][mask] % 256
+    rows = np.stack([code, pid, ef[0], ef[1], ef[2], ef[3], ef[4], ef[5],
+                     cr, ct, cp, fax, fidx, ef[6], ns, site],
+                    axis=1).astype(np.float64)
+    rows = rows[np.argsort(rows[:, 1], kind="stable")]
+    n = rows.shape[0]
+    k = ERR_RECORD_K
+    if n <= k:
+        rec = rows
+    else:               # first-K + ring-of-latest layout (kernel.py)
+        rec = np.zeros((2 * k, ERR_RECORD_W))
+        rec[:k] = rows[:k]
+        for i in range(max(n - k, k), n):
+            rec[k + i % k] = rows[i]
+    res["error_records"] = rec
+    res["n_error_records"] = min(n, 2 * k)
+    return res
+
+
 def run_stream_pallas(tables, static, n_photons, seed, width: int,
                       id_hi=0, id_lo=0, interpret: bool = False):
     """Drop-in for :func:`kernel.run_stream` on supported configs.
@@ -2229,7 +2338,7 @@ def run_stream_pallas(tables, static, n_photons, seed, width: int,
     res = _unpack_pool_out(out[0], out[1], spec)
     if spec.nx * spec.ny > 1:
         res["detector"] = _detector_from_rows(out[2], spec)
-    return res
+    return _attach_error_records(res, out[-2], out[-1], width)
 
 
 def _device_si(n_photons, seed, id_hi, id_lo, n_dev):
@@ -2261,15 +2370,19 @@ def _get_mesh_fn(spec: PallasSpec, width: int, interpret: bool, mesh,
     from jax.sharding import PartitionSpec as P
 
     fn = _get_fn(spec, width, interpret)
-    n_out = 3 if spec.nx * spec.ny > 1 else 2
+    n_red = 3 if spec.nx * spec.ny > 1 else 2
 
     @jax.jit
     @_partial(jax.shard_map, mesh=mesh,
               in_specs=(P(), P(axis), P(), P(), P(), P()),
-              out_specs=(P(),) * n_out, check_vma=False)
+              out_specs=(P(),) * n_red + (P(axis), P(axis)),
+              check_vma=False)
     def stepped(sf, si_dev, coarse, gt, lt_c, lt_r):
         out = fn(sf, si_dev[0], coarse, gt, lt_c, lt_r)
-        return tuple(jax.lax.psum(o, axis) for o in out)
+        # tallies/detector psum over the mesh; the forensics lane tiles
+        # stay per-device (concatenated along axis 0, decoded host-side)
+        return tuple(jax.lax.psum(o, axis) for o in out[:n_red]) \
+            + (out[-2], out[-1])
 
     _FN_CACHE[key] = stepped
     return stepped
@@ -2302,5 +2415,5 @@ def run_stream_pallas_mesh(tables, static, n_photons, seed, width: int,
     res = _unpack_pool_out(out[0], out[1], spec)
     if spec.nx * spec.ny > 1:
         res["detector"] = _detector_from_rows(out[2], spec)
-    return res
+    return _attach_error_records(res, out[-2], out[-1], width, n_dev=n_dev)
 
