@@ -158,6 +158,14 @@ def run_main(argv=None):
             out.write_spectrum_row(dirs, wl_m, res)
             out.write_optical_depth(dirs, atm, wl)
             out.write_cell_depth(dirs, wl_m, res.cell_depth)
+            # flow files are (over)written per wavelength, like the
+            # reference's per-run write_output (ARTES.f90:3713-3770) —
+            # the files left behind are the last wavelength's
+            if cfg.flow_global and res.flow_global is not None:
+                out.write_flow_global(dirs, res.flow_global, res.cell_depth)
+            if cfg.flow_theta and res.flow_theta is not None:
+                out.write_flow_latitudinal(dirs, res.flow_theta,
+                                           res.flux_exit, res.cell_depth)
             if cfg.photon_source == "star":
                 out.write_normalization(dirs, cfg, atm, wl_m)
             else:
@@ -211,6 +219,11 @@ def run_main(argv=None):
             out.write_phase_row(dirs, ang, res)
             if cfg.photon_source == "star" and ang < 1.0:
                 out.write_normalization(dirs, cfg, atm, atm.wavelengths[0])
+            if cfg.flow_global and res.flow_global is not None:
+                out.write_flow_global(dirs, res.flow_global, res.cell_depth)
+            if cfg.flow_theta and res.flow_theta is not None:
+                out.write_flow_latitudinal(dirs, res.flow_theta,
+                                           res.flux_exit, res.cell_depth)
             n_error += res.n_error
             error_codes += res.error_codes
             _rec(res)

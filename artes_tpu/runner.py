@@ -18,8 +18,7 @@ from artes_tpu.config import ArtesConfig, DetectorSetup, detector_setup
 from artes_tpu.constants import PI, planck_lambda
 from artes_tpu.transport import pallas_stream
 from artes_tpu.transport.kernel import (ERR_RECORD_K, KernelStatic,
-                                        order_error_records, run_batch,
-                                        run_stream)
+                                        order_error_records, run_stream)
 from artes_tpu.transport.tables import PreparedWavelength, build_tables
 
 # Pallas pool width: VMEM-resident lane count. Measured on TPU v5e (flagship
@@ -334,9 +333,12 @@ def run_spectrum(atm, cfg, packages, seed=0, wavelength_batch=False,
     serially (ARTES.f90:132-166). It pays when the wavelengths have similar
     optical depth (similar scatter-round counts) and the device is
     latency-bound; for spectra whose tau varies strongly (e.g. Rayleigh
-    lambda^-4 bands) the vmapped while-loops run every wavelength to the
-    slowest one's round count and the serial loop wins — measured 0.43x on a
-    tau 5..19 band — so it is opt-in.
+    lambda^-4 bands) the vmapped while-loop still runs every wavelength to
+    the slowest one's round count and the serial loop wins, so it is
+    opt-in. (r5: the per-wavelength kernel is the regeneration-pool
+    ``run_stream`` — within a wavelength, lanes refill instead of draining
+    — so only the cross-wavelength lockstep cost remains; r4 used the
+    drain-tail ``run_batch``, measured 0.43x on a tau 5..19 band.)
     """
     det = detector_setup(cfg, float(atm.rfront[-1]))
     wls = list(range(atm.n_wavelength)) if wl_subset is None else list(wl_subset)
@@ -360,11 +362,21 @@ def _run_wavelengths_vmapped(atm, cfg, det, packages, seed, wls=None,
     static = _kernel_static(cfg, det, atm, False)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[p.tables for p in preps])
     seeds = jnp.asarray([seed + wl for wl in wls], jnp.uint32)
-    vm = jax.jit(jax.vmap(lambda tab, s, ids: run_batch(tab, static, ids, s),
-                          in_axes=(0, 0, None)), static_argnums=())
 
     npix = det.nx * det.ny
     nl = len(wls)
+    # keep the total lanes in flight comparable to the single-lambda case
+    per_launch = max(batch_size // max(nl, 1), 1024)
+    # regeneration-pool kernel per wavelength (r5; previously run_batch,
+    # whose while-any-alive drain tail wasted most round work — the
+    # vmapped while_loop still runs lockstep to the SLOWEST wavelength's
+    # round count, which is the documented opt-in trade-off)
+    width_pl = min(per_launch, 1 << 14)
+    vm = jax.jit(jax.vmap(
+        lambda tab, s, n_, lo: run_stream(tab, static, n_, s, width_pl,
+                                          0, lo),
+        in_axes=(0, 0, None, None)))
+
     detector = np.zeros((nl, npix, 4, 3), np.float64)
     flux_emitted = np.zeros(nl)
     flux_exit = np.zeros(nl)
@@ -372,12 +384,9 @@ def _run_wavelengths_vmapped(atm, cfg, det, packages, seed, wls=None,
     n_alive = np.zeros(nl, np.int64)
     error_codes = np.zeros((nl, 4), np.int64)
     start = 0
-    # keep the total lanes in flight comparable to the single-lambda case
-    per_launch = max(batch_size // max(nl, 1), 1024)
     while start < packages:
         n = min(per_launch, packages - start)
-        ids = jnp.arange(start, start + n, dtype=jnp.uint32)
-        out = vm(stacked, seeds, ids)
+        out = vm(stacked, seeds, np.uint32(n), np.uint32(start))
         detector += np.asarray(out["detector"], np.float64)
         flux_emitted += np.asarray(out["flux_emitted"], np.float64)
         flux_exit += np.asarray(out["flux_exit"], np.float64)

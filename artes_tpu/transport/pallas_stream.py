@@ -554,9 +554,18 @@ def _build_kernel(spec: PallasSpec, width: int):
 
     def kernel(sf, si, coarse, gt, lt_c, lt_r, *rest):
         if NPIX > 1:
-            outf, outi, outd, outei, outef = rest
+            outf, outi, outd = rest[:3]
+            rest = rest[3:]
         else:
-            outf, outi, outei, outef = rest
+            outf, outi = rest[:2]
+            rest = rest[2:]
+        outei, outef = rest[0], rest[1]
+        if spec.flow:
+            # flow tallies accumulate IN-PLACE into a VMEM output ref:
+            # carrying 5 (FR, 128) tiles through the while_loop cost the
+            # nr=39 flow round ~40% by itself (measured 60 -> 35 M
+            # photons/s with booking arithmetic DCE'd away)
+            outfl = rest[2]
         n_photons = si[0]
         seed = si[1]       # pre-mixed with the id high word (rng.key_hi)
         id_lo = si[2]      # low word of the chunk's first global photon id
@@ -1613,21 +1622,19 @@ def _build_kernel(spec: PallasSpec, width: int):
                 active_t = active_t | surf
             if spec.flow:
                 # per-shell flow tallies: SUBLANE-reduce each segment's
-                # contribution (cheap cross-sublane sum) into row m of a
-                # per-component (FR,128) tile; the expensive cross-LANE
-                # reduction happens once at kernel end, not per segment —
-                # per-segment full-pool reductions cost ~2x the whole
-                # radial round (measured 17.5 vs 37 M photons/s)
+                # contribution (cheap cross-sublane sum) to a (1, 128)
+                # part, COLLECTED per trace-time shell index and folded
+                # into the per-component (FR, 128) carry with one concat
+                # per component per round (r5; the r4 version ran a
+                # (FR, 128) masked select-add per segment — ~2M extra
+                # element-ops/round on nr=39). The expensive cross-LANE
+                # reduction still happens once at kernel end.
                 FR = -(-nr // 8) * 8
-                frow = jax.lax.broadcasted_iota(i32, (FR, 128), 0)
-                fdelta = {k_: jnp.zeros((FR, 128), f32)
-                          for k_ in ("g0", "g1", "g2", "t0", "t1")}
+                fparts = {k_: {} for k_ in ("g0", "g1", "g2", "t0", "t1")}
 
                 def _fbook(key_, m, w_):
                     part = jnp.sum(w_, axis=0, keepdims=True)    # (1, 128)
-                    fdelta[key_] = jnp.where(frow == m,
-                                             fdelta[key_] + part,
-                                             fdelta[key_])
+                    fparts[key_].setdefault(m, []).append(part)
 
                 class _FlowAccP:
                     def add_g(self, m, wr, wt, wp):
@@ -1641,10 +1648,19 @@ def _build_kernel(spec: PallasSpec, width: int):
                 m_out = march(px, py, pz, tdx, tdy, tdz, cr, ct, cp, fax,
                               fidx, tau, active_t, ctr, k0, k1,
                               energy=sI, flow_acc=_FlowAccP())
-                flow_new = {("flow" + k_): c["flow" + k_] + fdelta[k_]
-                            for k_ in fdelta}
+                fz1 = jnp.zeros((1, 128), f32)
+                for ki, k_ in enumerate(("g0", "g1", "g2", "t0", "t1")):
+                    rows = []
+                    for m in range(FR):
+                        lst = fparts[k_].get(m)
+                        acc = fz1
+                        for p_ in (lst or ()):
+                            acc = acc + p_ if acc is not fz1 else p_
+                        rows.append(acc)
+                    sl = slice(ki * FR, (ki + 1) * FR)
+                    outfl[sl, :] = outfl[sl, :] \
+                        + jnp.concatenate(rows, axis=0)
             else:
-                flow_new = None
                 m_out = march(px, py, pz, tdx, tdy, tdz, cr, ct, cp, fax,
                               fidx, tau, active_t, ctr, k0, k1)
             ctr = m_out["ctr"]
@@ -1895,8 +1911,6 @@ def _build_kernel(spec: PallasSpec, width: int):
                 ecode=ecode, epid=epid, ecell=ecell, eface=eface,
                 **{"ef%d" % k: v for k, v in enumerate(e_f)},
             )
-            if spec.flow:
-                out.update(flow_new)
             if NPIX > 1:
                 out.update(detacc=detacc)
             else:
@@ -1930,9 +1944,8 @@ def _build_kernel(spec: PallasSpec, width: int):
                 accI2=zf, accQ2=zf, accU2=zf, accV2=zf,
                 accN=zi, accNI=zi)
         if spec.flow:
-            FR = -(-nr // 8) * 8
-            init.update({("flow" + k_): jnp.zeros((FR, 128), f32)
-                         for k_ in ("g0", "g1", "g2", "t0", "t1")})
+            FR0 = -(-nr // 8) * 8
+            outfl[...] = jnp.zeros((5 * FR0, 128), f32)
 
         fin = jax.lax.while_loop(cond, body, init)
 
@@ -1950,18 +1963,19 @@ def _build_kernel(spec: PallasSpec, width: int):
             # final cross-lane reduction of the per-shell partials, once:
             # rows 1-3 (flow_global, m*3+c) and 4-5 (flow_theta, m*2+col)
             FR = -(-nr // 8) * 8
-            frow_f = jax.lax.broadcasted_iota(i32, (FR, 128), 0)
+            fl_all = outfl[...]
             for m in range(nr):
-                for c_, k_ in ((0, "g0"), (1, "g1"), (2, "g2")):
+                for c_, k_ in enumerate(("g0", "g1", "g2")):
                     idx = m * 3 + c_
-                    v = jnp.sum(jnp.where(frow_f == m, fin["flow" + k_],
-                                          0.0), dtype=f32)
+                    v = jnp.sum(fl_all[c_ * FR + m:c_ * FR + m + 1],
+                                dtype=f32)
                     outv = jnp.where((row == 1 + idx // 128)
                                      & (lane == idx % 128), v, outv)
                 for col in range(2):
                     idx = m * 2 + col
-                    v = jnp.sum(jnp.where(frow_f == m, fin[f"flowt{col}"],
-                                          0.0), dtype=f32)
+                    v = jnp.sum(
+                        fl_all[(3 + col) * FR + m:(3 + col) * FR + m + 1],
+                        dtype=f32)
                     outv = jnp.where((row == 4 + idx // 128)
                                      & (lane == idx % 128), v, outv)
         outf[...] = outv
@@ -2013,6 +2027,9 @@ def _get_fn(spec: PallasSpec, width: int, interpret: bool):
         RR = width // 128
         out_shape += (jax.ShapeDtypeStruct((4 * RR, 128), i32),
                       jax.ShapeDtypeStruct((7 * RR, 128), f32))
+        if spec.flow:
+            FR = -(-spec.nr // 8) * 8
+            out_shape += (jax.ShapeDtypeStruct((5 * FR, 128), f32),)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 \
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
         # the default 16 MB scoped-VMEM budget is exceeded by ~1% once the
@@ -2336,9 +2353,13 @@ def run_stream_pallas(tables, static, n_photons, seed, width: int,
     lt_r = np.tril(np.ones((width // 128, width // 128), np.float32), -1)
     out = _get_fn(spec, width, interpret)(sf, si, coarse, gt, lt_c, lt_r)
     res = _unpack_pool_out(out[0], out[1], spec)
+    ie = 2
     if spec.nx * spec.ny > 1:
         res["detector"] = _detector_from_rows(out[2], spec)
-    return _attach_error_records(res, out[-2], out[-1], width)
+        ie = 3
+    # (a trailing raw flow tile may follow the error tiles; the host reads
+    # flow from the packed outf rows, so it is ignored here)
+    return _attach_error_records(res, out[ie], out[ie + 1], width)
 
 
 def _device_si(n_photons, seed, id_hi, id_lo, n_dev):
@@ -2371,18 +2392,20 @@ def _get_mesh_fn(spec: PallasSpec, width: int, interpret: bool, mesh,
 
     fn = _get_fn(spec, width, interpret)
     n_red = 3 if spec.nx * spec.ny > 1 else 2
+    n_raw = 3 if spec.flow else 2     # error tiles (+ raw flow tile)
 
     @jax.jit
     @_partial(jax.shard_map, mesh=mesh,
               in_specs=(P(), P(axis), P(), P(), P(), P()),
-              out_specs=(P(),) * n_red + (P(axis), P(axis)),
+              out_specs=(P(),) * n_red + (P(axis),) * n_raw,
               check_vma=False)
     def stepped(sf, si_dev, coarse, gt, lt_c, lt_r):
         out = fn(sf, si_dev[0], coarse, gt, lt_c, lt_r)
         # tallies/detector psum over the mesh; the forensics lane tiles
-        # stay per-device (concatenated along axis 0, decoded host-side)
+        # (and the raw flow tile, unused by the host — flow ships in the
+        # packed outf rows) stay per-device
         return tuple(jax.lax.psum(o, axis) for o in out[:n_red]) \
-            + (out[-2], out[-1])
+            + tuple(out[n_red:])
 
     _FN_CACHE[key] = stepped
     return stepped
@@ -2413,7 +2436,10 @@ def run_stream_pallas_mesh(tables, static, n_photons, seed, width: int,
     stepped = _get_mesh_fn(spec, width, interpret, mesh, axis_name)
     out = stepped(sf, si_dev, coarse, gt, lt_c, lt_r)
     res = _unpack_pool_out(out[0], out[1], spec)
+    ie = 2
     if spec.nx * spec.ny > 1:
         res["detector"] = _detector_from_rows(out[2], spec)
-    return _attach_error_records(res, out[-2], out[-1], width, n_dev=n_dev)
+        ie = 3
+    return _attach_error_records(res, out[ie], out[ie + 1], width,
+                                 n_dev=n_dev)
 

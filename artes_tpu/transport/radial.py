@@ -27,10 +27,11 @@ epsilons, no candidate selection, no no-candidate failures (the marching
 kernels abandon ~0.7% of photons to error 031 on 2.5-km shells in f32; the
 closed form abandons none).
 
-Scope: radial-only grids withOUT a Lambert surface and without flow
-diagnostics (multi-bounce surface legs and per-cell flow tallies keep the
-marching path). The photon floor itself is handled: rays entering the floor
-sphere stop there (absorbed, or prewalk surface flag).
+Scope: radial-only grids withOUT a Lambert surface (multi-bounce surface
+legs keep the marching path). Flow diagnostics ARE covered (r5): the
+march's ``flow`` hook books every trace-time shell segment. The photon
+floor itself is handled: rays entering the floor sphere stop there
+(absorbed, or prewalk surface flag).
 
 Both the XLA kernel (kernel.py) and the Pallas kernel (pallas_stream.py)
 call THESE functions with their own array shapes ((B,) lanes vs (RR, 128)
@@ -47,6 +48,7 @@ documented stream break — MC expectations are unchanged).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 BIG = 1.0e30
@@ -58,21 +60,6 @@ def use_closed_form(grid, static) -> bool:
     hook), so they no longer force the marching path (r5)."""
     return (grid.ntheta == 1 and grid.nphi == 1
             and not static.has_surface)
-
-
-def flow_project(x, y, z, dx, dy, dz):
-    """Direction projections onto the local (r, theta, phi) unit vectors,
-    algebraically (no arccos/arctan — Mosaic has neither; exact-math equal
-    to the trig form in kernel._flow_global_update, shared by both kernels
-    so the closed-form flow stays bit-compatible between them)."""
-    r = jnp.sqrt(x * x + y * y + z * z)
-    rho = jnp.sqrt(x * x + y * y)
-    inv_r = 1.0 / jnp.maximum(r, 1e-30)
-    inv_rho = 1.0 / jnp.maximum(rho, 1e-30)
-    r_dir = (x * dx + y * dy + z * dz) * inv_r
-    t_dir = (z * (x * dx + y * dy) * inv_rho - rho * dz) * inv_r
-    p_dir = (-y * dx + x * dy) * inv_rho
-    return r_dir, t_dir, p_dir
 
 
 def ray_chords(a2, b2, c2, rf, rf_floor, pos_eps, px, py, pz, dx, dy, dz):
@@ -179,15 +166,40 @@ def march(a2, b2, c2, rf, kx, rf_floor, pos_eps,
     e, h, surface_hit, s_surf = ray_chords(a2, b2, c2, rf, rf_floor,
                                            pos_eps, px, py, pz, dx, dy, dz)
 
+    if flow is not None:
+        # RAY-CONSTANT projection coefficients (r5): the segment-end
+        # projections onto the local (r, theta, phi) unit vectors are
+        # polynomials in the path parameter t over inv_r(t), inv_rho(t)
+        # (r^2 and rho^2 are quadratics in t; the phi numerator
+        # px dy - py dx is the conserved angular momentum), so each
+        # segment costs a handful of FMAs + two rsqrts instead of
+        # rebuilding positions and quotients — exact-math equal to the
+        # trig form in kernel._flow_global_update, and shared by both
+        # kernels so the closed-form flow stays bit-compatible between
+        # them. (|d| = 1 is used for the radial numerator pd + t.)
+        pd = px * dx + py * dy + pz * dz
+        p2 = px * px + py * py + pz * pz
+        pdxy = px * dx + py * dy
+        pq2 = px * px + py * py
+        dq2 = dx * dx + dy * dy
+        lz = px * dy - py * dx
+
     def book(m, mask_m, hit, start, seg, s_stop_m, outward):
         dist = jnp.where(hit, s_stop_m - start, seg)
-        end_t = jnp.where(hit, s_stop_m, start + seg)
-        ex = px + end_t * dx
-        ey = py + end_t * dy
-        ez = pz + end_t * dz
-        wr, wt, wp = flow_project(ex, ey, ez, dx, dy, dz)
+        t = jnp.where(hit, s_stop_m, start + seg)
+        r2 = t * (t + 2.0 * pd) + p2
+        rho2 = (dq2 * t + 2.0 * pdxy) * t + pq2
+        # guards must stay f32-representable: dead lanes sit at the origin
+        # (r2 = rho2 = 0), and an underflowed-to-zero guard would turn
+        # their masked w = 0 into rsqrt(0) * 0 = NaN
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        inv_rho = jax.lax.rsqrt(jnp.maximum(rho2, 1e-30))
         w = energy * dist * mask_m
-        flow.add_g(m, wr * w, wt * w, wp * w)
+        wr = (pd + t) * inv_r * w
+        tnum = (pz + t * dz) * (pdxy + t * dq2) - rho2 * dz
+        wt = tnum * (inv_rho * inv_r) * w
+        wp = lz * inv_rho * w
+        flow.add_g(m, wr, wt, wp)
         crossing = mask_m & ~hit
         flow.add_t(m, 0 if outward else 1, energy * crossing)
 

@@ -130,3 +130,16 @@ def test_keyword_override_and_imaging(demo_root):
     assert np.isfinite(data).all()
     assert data[0].sum() > 0  # Stokes I reaches the detector
     assert not (run / "output" / "error.log").exists()
+
+
+def test_spectrum_flow_outputs_written(demo_root):
+    """Flow files are written from spectrum mode too (the reference's
+    write_output emits them for every mode, ARTES.f90:3713-3770; r5 fix —
+    previously only imaging_mono wrote them)."""
+    assert cli.main(["demo", "800", "-o", "flowspec", "--root",
+                     str(demo_root), "--f64",
+                     "-k", "output:flow_global=on",
+                     "-k", "output:flow_latitudinal=on"]) == 0
+    outdir = demo_root / "output" / "flowspec" / "output"
+    assert (outdir / "flow_global.fits").is_file()
+    assert (outdir / "flow_latitudinal.fits").is_file()
