@@ -50,9 +50,6 @@ def run_main(argv=None):
     p.add_argument("--f64", action="store_true", help="run transport in float64")
     p.add_argument("--mesh", action="store_true",
                    help="shard photons over all local devices")
-    p.add_argument("--wl-batch", action="store_true",
-                   help="vmap all wavelengths into one kernel launch (wins for "
-                        "uniform-tau spectra on latency-bound devices)")
     p.add_argument("--resume", action="store_true",
                    help="skip wavelengths already present in spectrum.dat "
                         "(per-wavelength outputs are idempotent)")
@@ -149,7 +146,7 @@ def run_main(argv=None):
             print(f"resume: skipping {atm.n_wavelength - len(todo)} completed "
                   f"wavelengths", file=sys.stderr)
         det, results = runner.run_spectrum(atm, cfg, packages, wl_subset=todo,
-                                           wavelength_batch=args.wl_batch, **kw)
+                                           **kw)
         res = None
         for wl, res in zip(todo, results):
             if wl == 0:

@@ -324,93 +324,26 @@ def detector_errors(detector: np.ndarray) -> np.ndarray:
 # Modes (ARTES.f90:121-267)
 # ---------------------------------------------------------------------------
 
-def run_spectrum(atm, cfg, packages, seed=0, wavelength_batch=False,
-                 wl_subset=None, **kw):
+def run_spectrum(atm, cfg, packages, seed=0, wl_subset=None, **kw):
     """Per-wavelength Stokes spectrum (single-pixel detector).
 
-    ``wavelength_batch`` vmaps all wavelengths into one kernel launch — the
-    wavelength grid is an embarrassingly parallel axis the reference runs
-    serially (ARTES.f90:132-166). It pays when the wavelengths have similar
-    optical depth (similar scatter-round counts) and the device is
-    latency-bound; for spectra whose tau varies strongly (e.g. Rayleigh
-    lambda^-4 bands) the vmapped while-loop still runs every wavelength to
-    the slowest one's round count and the serial loop wins, so it is
-    opt-in. (r5: the per-wavelength kernel is the regeneration-pool
-    ``run_stream`` — within a wavelength, lanes refill instead of draining
-    — so only the cross-wavelength lockstep cost remains; r4 used the
-    drain-tail ``run_batch``, measured 0.43x on a tau 5..19 band.)
+    The wavelength grid is an embarrassingly parallel axis the reference
+    runs serially (ARTES.f90:132-166); here too each wavelength is an
+    independent kernel run (``wl_subset`` gives block-cyclic ownership for
+    the multi-process sharding, parallel/multihost.py — the measured-0.992
+    weak-scaling axis). An r2-r4 opt-in that vmapped all wavelengths into
+    one launch was REMOVED in r5: measured 12x slower than the serial loop
+    even in its best case (similar-tau band, latency-bound CPU backend,
+    either transport kernel — vmapping the per-cell table gathers and the
+    pool while_loop is what loses), and 300x slower than the serial Pallas
+    path on TPU.
     """
     det = detector_setup(cfg, float(atm.rfront[-1]))
     wls = list(range(atm.n_wavelength)) if wl_subset is None else list(wl_subset)
-    if (wavelength_batch and len(wls) > 1 and kw.get("dispatch") is None
-            and kw.get("mesh") is None):
-        return det, _run_wavelengths_vmapped(atm, cfg, det, packages, seed,
-                                             wls=wls, **kw)
     results = []
     for wl in wls:
         results.append(run_wavelength(atm, cfg, det, wl, packages, seed=seed + wl, **kw))
     return det, results
-
-
-def _run_wavelengths_vmapped(atm, cfg, det, packages, seed, wls=None,
-                             batch_size=1 << 17, dtype=jnp.float64,
-                             dispatch=None, progress=False):
-    import jax
-
-    wls = list(range(atm.n_wavelength)) if wls is None else wls
-    preps = [build_tables(atm, cfg, det, wl, dtype=dtype) for wl in wls]
-    static = _kernel_static(cfg, det, atm, False)
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[p.tables for p in preps])
-    seeds = jnp.asarray([seed + wl for wl in wls], jnp.uint32)
-
-    npix = det.nx * det.ny
-    nl = len(wls)
-    # keep the total lanes in flight comparable to the single-lambda case
-    per_launch = max(batch_size // max(nl, 1), 1024)
-    # regeneration-pool kernel per wavelength (r5; previously run_batch,
-    # whose while-any-alive drain tail wasted most round work — the
-    # vmapped while_loop still runs lockstep to the SLOWEST wavelength's
-    # round count, which is the documented opt-in trade-off)
-    width_pl = min(per_launch, 1 << 14)
-    vm = jax.jit(jax.vmap(
-        lambda tab, s, n_, lo: run_stream(tab, static, n_, s, width_pl,
-                                          0, lo),
-        in_axes=(0, 0, None, None)))
-
-    detector = np.zeros((nl, npix, 4, 3), np.float64)
-    flux_emitted = np.zeros(nl)
-    flux_exit = np.zeros(nl)
-    n_error = np.zeros(nl, np.int64)
-    n_alive = np.zeros(nl, np.int64)
-    error_codes = np.zeros((nl, 4), np.int64)
-    start = 0
-    while start < packages:
-        n = min(per_launch, packages - start)
-        out = vm(stacked, seeds, np.uint32(n), np.uint32(start))
-        detector += np.asarray(out["detector"], np.float64)
-        flux_emitted += np.asarray(out["flux_emitted"], np.float64)
-        flux_exit += np.asarray(out["flux_exit"], np.float64)
-        n_error += np.asarray(out["n_error"], np.int64)
-        n_alive += np.asarray(out["n_alive_at_cap"], np.int64)
-        error_codes += np.asarray(out["error_codes"], np.int64)
-        start += n
-
-    results = []
-    for i, wl in enumerate(wls):
-        e_pack = package_energy(cfg, atm, wl, packages, preps[i].emissivity_total)
-        img = detector[i].reshape(det.nx, det.ny, 4, 3)
-        scaled = np.empty_like(img)
-        scaled[..., 0] = img[..., 0] * e_pack
-        scaled[..., 1] = img[..., 1] * e_pack * e_pack
-        scaled[..., 2] = img[..., 2]
-        results.append(WavelengthResult(
-            detector=scaled, photometry=photometry_from_detector(scaled),
-            flux_emitted=float(flux_emitted[i]), flux_exit=float(flux_exit[i]),
-            n_error=int(n_error[i]), n_alive_at_cap=int(n_alive[i]),
-            cell_depth=preps[i].cell_depth, prep=preps[i],
-            error_codes=error_codes[i],
-        ))
-    return results
 
 
 def run_imaging_mono(atm, cfg, packages, seed=0, wl_index=0, **kw):
