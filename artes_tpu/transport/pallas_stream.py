@@ -1843,18 +1843,21 @@ def _build_kernel(spec: PallasSpec, width: int):
             esite_now = jnp.where(terr, jnp.where(fw, 1, 0),
                                   jnp.where(nb1_err, 2, 3))
             # packed int fields: [code*8+site]*2^16 + n_scat; cell
-            # (cr + 128*(ct + 64*cp)); face (fax*256 + fidx)
+            # ((cr+1) + 256*((ct+1) + 128*(cp+1))) and face
+            # ((fax+2)*1024 + fidx+2) — the +1/+2 offsets keep negative
+            # sentinel values (e.g. cell/face -1 in some error states)
+            # round-tripping exactly through the floor-division decode
             epack_now = ((ecode_now * 8 + esite_now) * 65536
                          + jnp.minimum(n_scat, 65535))
 
             def _esel(post, pre):
                 return jnp.where(terr, post, pre)
 
-            ecell_now = (_esel(m_out["cr"], cr)
-                         + 128 * (_esel(m_out["ct"], ct)
-                                  + 64 * _esel(m_out["cp"], cp)))
-            eface_now = _esel(m_out["fax"], fax) * 256 \
-                + _esel(m_out["fidx"], fidx)
+            ecell_now = (_esel(m_out["cr"], cr) + 1
+                         + 256 * (_esel(m_out["ct"], ct) + 1
+                                  + 128 * (_esel(m_out["cp"], cp) + 1)))
+            eface_now = (_esel(m_out["fax"], fax) + 2) * 1024 \
+                + _esel(m_out["fidx"], fidx) + 2
             ecode = jnp.where(fresh, epack_now, c["ecode"])
             epid = jnp.where(fresh, pid, c["epid"])
             ecell = jnp.where(fresh, ecell_now, c["ecell"])
@@ -2312,11 +2315,11 @@ def _attach_error_records(res, outei, outef, width, n_dev=1):
     site = (packed >> 16) % 8
     ns = packed & 0xFFFF
     pid = ei[1][mask].astype(np.uint32).astype(np.float64)
-    cr = ei[2][mask] % 128
-    ct = (ei[2][mask] // 128) % 64
-    cp = ei[2][mask] // (128 * 64)
-    fax = ei[3][mask] // 256
-    fidx = ei[3][mask] % 256
+    cr = ei[2][mask] % 256 - 1
+    ct = (ei[2][mask] // 256) % 128 - 1
+    cp = ei[2][mask] // (256 * 128) - 1
+    fax = ei[3][mask] // 1024 - 2
+    fidx = ei[3][mask] % 1024 - 2
     rows = np.stack([code, pid, ef[0], ef[1], ef[2], ef[3], ef[4], ef[5],
                      cr, ct, cp, fax, fidx, ef[6], ns, site],
                     axis=1).astype(np.float64)
