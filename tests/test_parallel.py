@@ -112,3 +112,22 @@ def test_pallas_mesh_imaging_matches_single_device():
     cfg.npix = 5
     prep, static = _pallas_setup(cfg)
     _mesh_compare(static, prep, n=700, seed=7, width=256, npix=25)
+
+
+@pytest.mark.slow
+def test_pallas_mesh_thermal_imaging_matches_single_device():
+    """Thermal source + multi-pixel detector over the mesh: the in-kernel
+    splat's first-only birth-peel bookings (component-0 counts, Stokes-I
+    only) must psum identically to the single-device run."""
+    from artes_tpu.runner import _kernel_static
+    from artes_tpu.transport.tables import build_tables
+
+    atm = presets.thermal_shell(tau_abs=0.8, nr=4)
+    cfg = ArtesConfig()
+    cfg.mode = "imaging_mono"
+    cfg.npix = 5
+    cfg.photon_source = "planet"
+    det = detector_setup(cfg, float(atm.rfront[-1]))
+    static = _kernel_static(cfg, det, atm, False)
+    prep = build_tables(atm, cfg, det, 0, dtype=jnp.float32)
+    _mesh_compare(static, prep, n=600, seed=11, width=256, npix=25)
