@@ -21,9 +21,10 @@ from artes_tpu.transport.kernel import (ERR_RECORD_K, KernelStatic,
                                         order_error_records, run_stream)
 from artes_tpu.transport.tables import PreparedWavelength, build_tables
 
-# Pallas pool width: VMEM-resident lane count. Measured on TPU v5e (flagship
-# config, n=2^28): W=4096 49.4M, W=8192 51.2M, W=16384 43.9M photons/s, and
-# W=32768 exceeds the 16 MB scoped-VMEM limit — 8192 is the knee.
+# Pallas pool width: VMEM-resident lane count. 8192 is the measured knee for
+# radial configs on TPU v5e (r3 sweep, re-confirmed each round; 3-D jump
+# configs prefer 16384 — pallas_stream.preferred_width — and 32768 measures
+# worse again, 26.4 vs 28.2M on the 2,496-cell deck).
 PALLAS_WIDTH = 8192
 
 PHASE_ANGLES_DEG = [1.0e-5] + [2.5 * i for i in range(1, 72)] + [180.0 - 1.0e-5]  # (:215-229)
@@ -162,7 +163,7 @@ def run_wavelength(atm, cfg: ArtesConfig, det: DetectorSetup, wl_index: int,
         # lane occupancy; run_batch's while-any-alive tail wastes >80 % of
         # round work instead). On supported configs the pool loop runs as one
         # fused Pallas kernel (state VMEM-resident, no HBM round-trips,
-        # measured 17x the XLA pool on TPU v5e); otherwise the XLA pool. The
+        # measured 20x+ the XLA pool on TPU v5e); otherwise the XLA pool. The
         # photon count is traced, so photon-count changes do not recompile.
         import jax
         pallas_ok = (jax.default_backend() == "tpu"
