@@ -85,9 +85,7 @@ def build(npix, nvals=8, ncnt=2, split=3):
             step = nvals * nrows_pad
             folded = dsum[:g + step]
             for s in range(1, split):
-                folded = folded.at[g:g + step].add(
-                    dsum[g + s * step: g + (s + 1) * step]) \
-                    if False else jnp.concatenate(
+                folded = jnp.concatenate(
                     [folded[:g],
                      folded[g:] + dsum[g + s * step: g + (s + 1) * step]],
                     axis=0)
