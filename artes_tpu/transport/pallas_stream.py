@@ -509,12 +509,15 @@ def _build_kernel(spec: PallasSpec, width: int):
     NP = spec.nphi
     NC = nr * NT * NP               # flat cell count for per-cell tables
     NPIX = spec.nx * spec.ny
-    # in-kernel MXU splat geometry (multi-pixel detectors): the
-    # detector lives in VMEM as feature-major (10*NRP, 128) rows — groups
+    # in-kernel MXU splat geometry (multi-pixel detectors): the detector
+    # lives in VMEM as feature-major ((NCNT+8)*NRP, 128) rows — groups
     # [cnt0, cnt_full, I, Q, U, V, I2, Q2, U2, V2], each (NRP, C) with
-    # pixel p at (row p>>7, lane p&127)
+    # pixel p at (row p>>7, lane p&127). Without first-only events
+    # (thermal birth / surface peels) cnt0 == cnt_full exactly, so one
+    # count row suffices (NCNT=1) and the host duplicates it.
     NROWS = -(-NPIX // C)
     NRP = max(-(-NROWS // 8) * 8, 8)
+    NCNT = 2 if (spec.thermal or spec.surface) else 1
     # Stokes values ride the MXU as a bf16 hi/lo(/lo2) split: 3-way keeps
     # every contribution at f32-roundoff (<=1 ulp), used up to 2048 px;
     # larger detectors drop to 2-way (~1e-5 relative per contribution,
@@ -1741,8 +1744,10 @@ def _build_kernel(spec: PallasSpec, width: int):
                         pm[r:r + 1, :], (NRP, C))).astype(f32)
                     oht = (iota_c == jnp.broadcast_to(
                         pcol[r:r + 1, :], (C, C))).astype(jnp.bfloat16)
-                    parts = [(ohrow * cnt0f[r:r + 1, :]).astype(jnp.bfloat16),
-                             (ohrow * cntff[r:r + 1, :]).astype(jnp.bfloat16)]
+                    parts = [(ohrow * cnt0f[r:r + 1, :]).astype(jnp.bfloat16)]
+                    if NCNT == 2:
+                        parts.append((ohrow * cntff[r:r + 1, :])
+                                     .astype(jnp.bfloat16))
                     resid = []
                     for v in vals:
                         a = ohrow * v[r:r + 1, :]        # exact: 0/1 * f32
@@ -1764,12 +1769,12 @@ def _build_kernel(spec: PallasSpec, width: int):
                                             preferred_element_type=f32)
                     contrib = d if contrib is None else contrib + d
                 # fold the hi/lo split groups back into the value rows
-                base = contrib[:2 * NRP]
-                valrows = contrib[2 * NRP:6 * NRP]
+                base = contrib[:NCNT * NRP]
+                valrows = contrib[NCNT * NRP:(NCNT + 4) * NRP]
                 for s in range(1, VSPLIT):
-                    o = (2 + 4 * s) * NRP
+                    o = (NCNT + 4 * s) * NRP
                     valrows = valrows + contrib[o:o + 4 * NRP]
-                sqrows = contrib[(2 + 4 * VSPLIT) * NRP:]
+                sqrows = contrib[(NCNT + 4 * VSPLIT) * NRP:]
                 detacc = c["detacc"] + jnp.concatenate(
                     [base, valrows, sqrows], axis=0)
             else:
@@ -1940,7 +1945,7 @@ def _build_kernel(spec: PallasSpec, width: int):
             tau_first=zf, pre_surface=zi, n_scat=zi,
             n_emitted=u32(0))
         if NPIX > 1:
-            init.update(detacc=jnp.zeros((10 * NRP, C), f32))
+            init.update(detacc=jnp.zeros(((NCNT + 8) * NRP, C), f32))
         else:
             init.update(
                 accI=zf, accQ=zf, accU=zf, accV=zf,
@@ -2026,7 +2031,8 @@ def _get_fn(spec: PallasSpec, width: int, interpret: bool):
         if npix > 1:
             nrows = -(-npix // 128)
             nrp = max(-(-nrows // 8) * 8, 8)
-            out_shape += (jax.ShapeDtypeStruct((10 * nrp, 128), f32),)
+            ncnt = 2 if (spec.thermal or spec.surface) else 1
+            out_shape += (jax.ShapeDtypeStruct(((ncnt + 8) * nrp, 128), f32),)
         RR = width // 128
         out_shape += (jax.ShapeDtypeStruct((4 * RR, 128), i32),
                       jax.ShapeDtypeStruct((7 * RR, 128), f32))
@@ -2272,17 +2278,19 @@ def _detector_from_rows(outd, spec):
     """(npix, 4, 3) detector from the in-kernel splat rows (ONE f32 fetch).
 
     Row groups (each NRP sublanes, pixel p at (p>>7, p&127)):
-    [cnt0, cnt_full, I, Q, U, V, I2, Q2, U2, V2]. Counts are integer-valued
-    f32 (exact to 2^24); component 0 counts include first-only events
-    (thermal birth / surface peels), matching kernel.py _splat."""
+    [cnt0, (cnt_full,) I, Q, U, V, I2, Q2, U2, V2]. Counts are
+    integer-valued f32 (exact to 2^24); component 0 counts include
+    first-only events (thermal birth / surface peels) and collapse to one
+    row when such events cannot occur, matching kernel.py _splat."""
     npix = spec.nx * spec.ny
-    nrp = outd.shape[0] // 10
-    da = np.asarray(outd, np.float32).reshape(10, nrp * 128)[:, :npix]
+    ncnt = 2 if (spec.thermal or spec.surface) else 1
+    nrp = outd.shape[0] // (ncnt + 8)
+    da = np.asarray(outd, np.float32).reshape(ncnt + 8, nrp * 128)[:, :npix]
     det = np.zeros((npix, 4, 3), np.float32)
-    det[:, :, 0] = da[2:6].T
-    det[:, :, 1] = da[6:10].T
+    det[:, :, 0] = da[ncnt:ncnt + 4].T
+    det[:, :, 1] = da[ncnt + 4:ncnt + 8].T
     det[:, 0, 2] = da[0]
-    det[:, 1:, 2] = da[1][:, None]
+    det[:, 1:, 2] = da[ncnt - 1][:, None]
     return det
 
 
